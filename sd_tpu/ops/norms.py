@@ -1,0 +1,55 @@
+"""Normalization layers.
+
+The reference uses two GroupNorm flavours that matter for checkpoint parity
+(SURVEY.md §7.2):
+- UNet blocks: ``GroupNorm32`` — torch-default eps=1e-5 with an fp32 upcast
+  (``ldm/modules/diffusionmodules/util.py:205,214-216``).
+- VAE / SpatialTransformer: eps=1e-6 (``model.py:38-39``, ``attention.py:77``).
+
+Here both are one module: GroupNorm is always computed in float32 and cast
+back to the activation dtype — the TPU bf16 policy keeps the normalization
+statistics exact, which is what the reference's ``.float()`` upcast does.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+__all__ = ["GroupNorm32", "LayerNormFp32"]
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) computed in fp32, output cast back to the input dtype."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        out = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.eps,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            use_fast_variance=False,
+        )(x.astype(jnp.float32))
+        return out.astype(orig_dtype)
+
+
+class LayerNormFp32(nn.Module):
+    """LayerNorm in fp32 (pre-LN sites in BasicTransformerBlock, CLIP)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        out = nn.LayerNorm(
+            epsilon=self.eps,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            use_fast_variance=False,
+        )(x.astype(jnp.float32))
+        return out.astype(orig_dtype)
