@@ -10,6 +10,22 @@ REFERENCE = "/root/reference"
 if REFERENCE not in sys.path:
     sys.path.insert(0, REFERENCE)
 
+# The reference UNet ctor imports omegaconf (not installed here) when
+# context_dim is set; a list-typed stub satisfies it for golden generation.
+if "omegaconf" not in sys.modules:
+    import types
+
+    omegaconf = types.ModuleType("omegaconf")
+    listconfig = types.ModuleType("omegaconf.listconfig")
+
+    class ListConfig(list):
+        pass
+
+    listconfig.ListConfig = ListConfig
+    omegaconf.listconfig = listconfig
+    sys.modules["omegaconf"] = omegaconf
+    sys.modules["omegaconf.listconfig"] = listconfig
+
 
 def torch_manual_seed(seed=0):
     import torch
