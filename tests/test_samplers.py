@@ -1,0 +1,308 @@
+"""Sampler equation goldens vs the reference DDIM/PLMS/DPM-Solver loops, plus
+oracle-model convergence tests for all solvers.
+
+The reference samplers are driven with a fake torch model implementing the
+same deterministic eps function as the JAX side, so trajectories must match
+exactly (eta=0 paths)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sd_tpu.core.schedules import DiffusionSchedule, q_sample
+from sd_tpu.samplers import (
+    ddim_decode,
+    ddim_sample,
+    ddim_stochastic_encode,
+    dpm_solver_sample,
+    p_sample_loop,
+    plms_sample,
+    progressive_denoising,
+)
+from tests.torch_ref import torch_manual_seed
+
+SCHED = DiffusionSchedule.create(timesteps=1000, beta_schedule="linear",
+                                 linear_start=0.00085, linear_end=0.012)
+SHAPE = (2, 8, 8, 3)
+
+
+# ---------------------------------------------------------------- fake model
+
+
+def jax_eps(x, t, c):
+    """Deterministic smooth eps: 0.2*x + 0.1*cos(t/100) + 0.05*c_mean."""
+    tterm = 0.1 * jnp.cos(t.astype(jnp.float32) / 100.0)
+    cterm = 0.05 * jnp.mean(c, axis=tuple(range(1, c.ndim))) if c is not None else 0.0
+    bias = tterm + (cterm if c is not None else 0.0)
+    return 0.2 * x + bias.reshape((-1,) + (1,) * (x.ndim - 1))
+
+
+class TorchFakeLDM:
+    """Duck-typed stand-in for the LatentDiffusion the reference samplers wrap."""
+
+    parameterization = "eps"
+
+    def __init__(self):
+        import torch
+
+        self.torch = torch
+        self.alphas_cumprod = torch.tensor(SCHED.alphas_cumprod)
+        self.alphas_cumprod_prev = torch.tensor(SCHED.alphas_cumprod_prev)
+        self.sqrt_one_minus_alphas_cumprod = torch.tensor(
+            SCHED.sqrt_one_minus_alphas_cumprod
+        )
+        self.betas = torch.tensor(SCHED.betas)
+        self.num_timesteps = SCHED.num_timesteps
+        self.device = self.betas.device
+
+    def apply_model(self, x, t, c):
+        tterm = 0.1 * self.torch.cos(t.float() / 100.0)
+        if c is not None:
+            cterm = 0.05 * c.mean(dim=list(range(1, c.dim())))
+            tterm = tterm + cterm
+        return 0.2 * x + tterm.reshape((-1,) + (1,) * (x.dim() - 1))
+
+
+def make_ref_ddim():
+    from ldm.models.diffusion.ddim import DDIMSampler
+
+    class CPUDDIM(DDIMSampler):
+        def register_buffer(self, name, attr):  # drop the .cuda() pin
+            setattr(self, name, attr)
+
+    return CPUDDIM(TorchFakeLDM())
+
+
+def make_ref_plms():
+    from ldm.models.diffusion.plms import PLMSSampler
+
+    class CPUPLMS(PLMSSampler):
+        def register_buffer(self, name, attr):
+            setattr(self, name, attr)
+
+    return CPUPLMS(TorchFakeLDM())
+
+
+def nchw(x):
+    return np.transpose(np.asarray(x), (0, 3, 1, 2))
+
+
+# ---------------------------------------------------------------- DDIM
+
+
+def test_ddim_parity_eta0():
+    torch = torch_manual_seed(50)
+    sampler = make_ref_ddim()
+    x_T = torch.randn(2, 3, 8, 8)
+    ref, _ = sampler.sample(
+        S=10, batch_size=2, shape=(3, 8, 8), conditioning=None, eta=0.0,
+        x_T=x_T, verbose=False,
+    )
+    got, _ = ddim_sample(
+        jax_eps, SCHED, SHAPE, cond=None, rng=jax.random.PRNGKey(0),
+        num_steps=10, eta=0.0,
+        x_T=jnp.asarray(np.transpose(x_T.numpy(), (0, 2, 3, 1))),
+    )
+    np.testing.assert_allclose(nchw(got), ref.numpy(), atol=1e-4, rtol=1e-4)
+
+
+def test_ddim_parity_with_cfg():
+    torch = torch_manual_seed(51)
+    sampler = make_ref_ddim()
+    x_T = torch.randn(2, 3, 8, 8)
+    c = torch.ones(2, 4) * 2.0
+    uc = torch.zeros(2, 4)
+    ref, _ = sampler.sample(
+        S=8, batch_size=2, shape=(3, 8, 8), conditioning=c, eta=0.0, x_T=x_T,
+        unconditional_guidance_scale=5.0, unconditional_conditioning=uc,
+        verbose=False,
+    )
+    got, _ = ddim_sample(
+        jax_eps, SCHED, SHAPE, cond=jnp.full((2, 4), 2.0),
+        uncond=jnp.zeros((2, 4)), guidance_scale=5.0,
+        rng=jax.random.PRNGKey(0), num_steps=8,
+        x_T=jnp.asarray(np.transpose(x_T.numpy(), (0, 2, 3, 1))),
+    )
+    np.testing.assert_allclose(nchw(got), ref.numpy(), atol=1e-4, rtol=1e-4)
+
+
+def test_ddim_eta_noise_statistics(rng):
+    """eta>0 injects sigma-scaled noise; with temperature=0 it must vanish."""
+    x_T = jax.random.normal(rng, SHAPE)
+    a, _ = ddim_sample(jax_eps, SCHED, SHAPE, None, jax.random.PRNGKey(1),
+                       num_steps=10, eta=1.0, x_T=x_T, temperature=0.0)
+    b, _ = ddim_sample(jax_eps, SCHED, SHAPE, None, jax.random.PRNGKey(2),
+                       num_steps=10, eta=1.0, x_T=x_T, temperature=0.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    c, _ = ddim_sample(jax_eps, SCHED, SHAPE, None, jax.random.PRNGKey(1),
+                       num_steps=10, eta=1.0, x_T=x_T)
+    d, _ = ddim_sample(jax_eps, SCHED, SHAPE, None, jax.random.PRNGKey(2),
+                       num_steps=10, eta=1.0, x_T=x_T)
+    assert np.abs(np.asarray(c) - np.asarray(d)).max() > 1e-3
+
+
+def test_ddim_img2img_roundtrip():
+    """stochastic_encode to a mid index then decode: parity vs reference."""
+    torch = torch_manual_seed(52)
+    sampler = make_ref_ddim()
+    sampler.make_schedule(20, ddim_eta=0.0, verbose=False)
+    x0_t = torch.randn(2, 3, 8, 8)
+    noise_t = torch.randn(2, 3, 8, 8)
+    t_enc = 12
+    z = sampler.stochastic_encode(x0_t, torch.tensor([t_enc, t_enc]), noise=noise_t)
+    ref = sampler.decode(z, None, t_enc)
+
+    to_nhwc = lambda t: jnp.asarray(np.transpose(t.numpy(), (0, 2, 3, 1)))
+    z_j = ddim_stochastic_encode(SCHED, to_nhwc(x0_t), t_enc,
+                                 rng=None, num_steps=20, noise=to_nhwc(noise_t))
+    np.testing.assert_allclose(nchw(z_j), z.numpy(), atol=1e-5)
+    got = ddim_decode(jax_eps, SCHED, z_j, None, t_enc, num_steps=20)
+    np.testing.assert_allclose(nchw(got), ref.numpy(), atol=1e-4, rtol=1e-4)
+
+
+def test_ddim_mask_blend_keeps_known_region(rng):
+    x0 = jnp.zeros(SHAPE)
+    mask = jnp.zeros(SHAPE).at[:, :4].set(1.0)  # 1 = keep
+    out, _ = ddim_sample(jax_eps, SCHED, SHAPE, None, rng, num_steps=10,
+                         mask=mask, x0=x0)
+    np.testing.assert_allclose(np.asarray(out[:, :4]), 0.0, atol=1e-6)
+    assert np.abs(np.asarray(out[:, 4:])).max() > 1e-3
+
+
+def test_ddim_intermediates_logging(rng):
+    out, inter = ddim_sample(jax_eps, SCHED, SHAPE, None, rng, num_steps=10,
+                             log_every_t=5)
+    assert inter is not None
+    assert inter["x_inter"].shape[0] == 2  # steps 0 and 5
+    assert inter["pred_x0"].shape[1:] == SHAPE
+
+
+# ---------------------------------------------------------------- PLMS
+
+
+@pytest.mark.parametrize("steps", [2, 8])
+def test_plms_parity(steps):
+    """steps=2 exercises only the bootstrap+order2; steps=8 all orders."""
+    torch = torch_manual_seed(53)
+    sampler = make_ref_plms()
+    x_T = torch.randn(2, 3, 8, 8)
+    ref, _ = sampler.sample(
+        S=steps, batch_size=2, shape=(3, 8, 8), conditioning=None, eta=0.0,
+        x_T=x_T, verbose=False,
+    )
+    got, _ = plms_sample(
+        jax_eps, SCHED, SHAPE, cond=None, rng=jax.random.PRNGKey(0),
+        num_steps=steps,
+        x_T=jnp.asarray(np.transpose(x_T.numpy(), (0, 2, 3, 1))),
+    )
+    np.testing.assert_allclose(nchw(got), ref.numpy(), atol=2e-4, rtol=1e-4)
+
+
+def test_plms_parity_with_cfg():
+    torch = torch_manual_seed(54)
+    sampler = make_ref_plms()
+    x_T = torch.randn(1, 3, 8, 8)
+    c = torch.full((1, 4), 1.5)
+    uc = torch.zeros(1, 4)
+    ref, _ = sampler.sample(
+        S=6, batch_size=1, shape=(3, 8, 8), conditioning=c, eta=0.0, x_T=x_T,
+        unconditional_guidance_scale=7.5, unconditional_conditioning=uc,
+        verbose=False,
+    )
+    got, _ = plms_sample(
+        jax_eps, SCHED, (1, 8, 8, 3), cond=jnp.full((1, 4), 1.5),
+        uncond=jnp.zeros((1, 4)), guidance_scale=7.5,
+        rng=jax.random.PRNGKey(0), num_steps=6,
+        x_T=jnp.asarray(np.transpose(x_T.numpy(), (0, 2, 3, 1))),
+    )
+    np.testing.assert_allclose(nchw(got), ref.numpy(), atol=2e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------- DPM-Solver
+
+
+def test_dpm_solver_parity():
+    import torch
+    import sys
+
+    torch.manual_seed(55)
+    from ldm.models.diffusion.dpm_solver.dpm_solver import (
+        DPM_Solver,
+        NoiseScheduleVP,
+        model_wrapper,
+    )
+
+    fake = TorchFakeLDM()
+    ns = NoiseScheduleVP("discrete", alphas_cumprod=fake.alphas_cumprod)
+    wrapped = model_wrapper(
+        lambda x, t, c: fake.apply_model(x, t, c), ns, model_type="noise",
+        guidance_type="classifier-free", condition=torch.full((2, 4), 1.5),
+        unconditional_condition=torch.zeros(2, 4), guidance_scale=3.0,
+    )
+    solver = DPM_Solver(wrapped, ns, predict_x0=True, thresholding=False)
+    x_T = torch.randn(2, 3, 8, 8)
+    ref = solver.sample(x_T.clone(), steps=10, skip_type="time_uniform",
+                        method="multistep", order=2, lower_order_final=True)
+
+    got = dpm_solver_sample(
+        jax_eps, SCHED, SHAPE, cond=jnp.full((2, 4), 1.5),
+        uncond=jnp.zeros((2, 4)), guidance_scale=3.0,
+        rng=jax.random.PRNGKey(0), num_steps=10,
+        x_T=jnp.asarray(np.transpose(x_T.numpy(), (0, 2, 3, 1))),
+    )
+    np.testing.assert_allclose(nchw(got), ref.numpy(), atol=2e-4, rtol=1e-4)
+
+
+# ------------------------------------------------------- oracle convergence
+
+
+def oracle_eps(x0_true):
+    """eps implied by knowing the clean image: inverts q_sample exactly."""
+
+    def eps(x, t, c):
+        t = t.astype(jnp.int32)
+        a = jnp.asarray(SCHED.sqrt_alphas_cumprod)[t].reshape(-1, 1, 1, 1)
+        s = jnp.asarray(SCHED.sqrt_one_minus_alphas_cumprod)[t].reshape(-1, 1, 1, 1)
+        return (x - a * x0_true) / s
+
+    return eps
+
+
+@pytest.mark.parametrize("solver", ["ddim", "plms", "ancestral"])
+def test_solvers_converge_to_oracle_target(solver, rng):
+    x0_true = jnp.asarray(
+        np.tile(np.linspace(-0.5, 0.5, 8, dtype=np.float32).reshape(1, 8, 1, 1),
+                (2, 1, 8, 3))
+    )
+    eps = oracle_eps(x0_true)
+    if solver == "ddim":
+        out, _ = ddim_sample(eps, SCHED, SHAPE, None, rng, num_steps=50)
+    elif solver == "plms":
+        out, _ = plms_sample(eps, SCHED, SHAPE, None, rng, num_steps=50)
+    else:
+        out, _ = p_sample_loop(eps, SCHED, SHAPE, None, rng, clip_denoised=True)
+    err = np.abs(np.asarray(out) - np.asarray(x0_true)).mean()
+    assert err < 0.05, f"{solver}: mean err {err}"
+
+
+def test_progressive_denoising_trajectory(rng):
+    x0_true = jnp.zeros(SHAPE)
+    img, x0_traj = progressive_denoising(
+        oracle_eps(x0_true), SCHED, SHAPE, rng=rng, timesteps=200, log_every_t=50
+    )
+    assert x0_traj.shape[0] == 4
+    # x0 predictions should be (near) target all along for the oracle
+    np.testing.assert_allclose(np.asarray(x0_traj[-1]), 0.0, atol=0.05)
+
+
+def test_samplers_are_jittable(rng):
+    """The whole DDIM loop must compile as one program (static steps)."""
+    fn = jax.jit(
+        lambda key, xT: ddim_sample(jax_eps, SCHED, SHAPE, None, key,
+                                    num_steps=5, x_T=xT)[0]
+    )
+    xT = jax.random.normal(rng, SHAPE)
+    out = fn(jax.random.PRNGKey(0), xT)
+    assert out.shape == SHAPE
