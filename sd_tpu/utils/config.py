@@ -1,0 +1,339 @@
+"""Config layer: YAML object graphs with an explicit target registry.
+
+The reference makes every YAML node with ``target:``+``params:`` instantiable
+via import-by-string (``ldm/util.py:78-93``). The rebuild keeps the YAML
+contract — all 20 shipped model configs parse unchanged — but resolves
+targets through an explicit registry (SURVEY.md §5.6 recommendation: no
+arbitrary import execution), with reference module paths aliased to their
+sd_tpu equivalents. OmegaConf's multi-base merge + CLI dotlist
+(``main.py:514-516``) is reimplemented on plain dicts.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+__all__ = [
+    "load_yaml",
+    "merge_configs",
+    "apply_dotlist",
+    "instantiate_from_config",
+    "register_target",
+    "build_latent_diffusion",
+]
+
+
+# ---------------------------------------------------------------- yaml utils
+
+
+def load_yaml(path: str) -> Dict:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def merge_configs(configs: Sequence[Dict]) -> Dict:
+    """Left-to-right deep merge (later wins), like OmegaConf.merge."""
+
+    def merge(a, b):
+        if isinstance(a, dict) and isinstance(b, dict):
+            out = dict(a)
+            for k, v in b.items():
+                out[k] = merge(a[k], v) if k in a else v
+            return out
+        return b
+
+    out: Dict = {}
+    for c in configs:
+        out = merge(out, c or {})
+    return out
+
+
+def apply_dotlist(cfg: Dict, dotlist: Sequence[str]) -> Dict:
+    """Apply ``nested.key=value`` overrides (values YAML-parsed)."""
+    cfg = copy.deepcopy(cfg)
+    for item in dotlist:
+        key, _, raw = item.partition("=")
+        value = yaml.safe_load(raw)
+        node = cfg
+        parts = key.strip().split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return cfg
+
+
+# ------------------------------------------------------------------ registry
+
+_REGISTRY: Dict[str, Callable[..., Any]] = {}
+
+# sentinels (ddpm.py:444-445, ldm/util.py:80-83)
+FIRST_STAGE_SENTINEL = "__is_first_stage__"
+UNCONDITIONAL_SENTINEL = "__is_unconditional__"
+
+
+def register_target(*names: str):
+    def deco(fn):
+        for n in names:
+            _REGISTRY[n] = fn
+        return fn
+
+    return deco
+
+
+def instantiate_from_config(cfg: Dict, **extra) -> Any:
+    """Resolve a ``{target, params}`` node. Ref contract: ``ldm/util.py:78-93``."""
+    if not isinstance(cfg, dict) or "target" not in cfg:
+        if cfg in (FIRST_STAGE_SENTINEL, UNCONDITIONAL_SENTINEL):
+            return cfg
+        raise KeyError(f"Expected a config dict with 'target', got: {cfg!r}")
+    target = cfg["target"]
+    if target not in _REGISTRY:
+        raise KeyError(
+            f"Unknown target {target!r}. Register it with sd_tpu.utils.config."
+            f"register_target."
+        )
+    params = dict(cfg.get("params") or {})
+    return _REGISTRY[target](params, **extra)
+
+
+def _register_builtins():
+    from sd_tpu.models.clip import CLIP_VIT_L_14_TEXT, CLIPTextModel
+    from sd_tpu.models.encoders import (
+        BERTEmbedder,
+        ClassEmbedder,
+        SpatialRescaler,
+        TransformerEmbedder,
+    )
+    from sd_tpu.models.unet import UNetConfig, UNetModel
+    from sd_tpu.models.vae import AutoencoderKL, IdentityFirstStage, VQModel
+
+    @register_target(
+        "ldm.modules.diffusionmodules.openaimodel.UNetModel",
+        "sd_tpu.models.unet.UNetModel",
+    )
+    def _unet(p):
+        return UNetModel(config=UNetConfig.from_dict(p))
+
+    @register_target(
+        "ldm.models.autoencoder.AutoencoderKL", "sd_tpu.models.vae.AutoencoderKL"
+    )
+    def _kl(p):
+        return AutoencoderKL(ddconfig=p["ddconfig"], embed_dim=p["embed_dim"])
+
+    @register_target(
+        "ldm.models.autoencoder.VQModelInterface",
+        "ldm.models.autoencoder.VQModel",
+        "sd_tpu.models.vae.VQModel",
+    )
+    def _vq(p):
+        return VQModel(
+            ddconfig=p["ddconfig"], n_embed=p["n_embed"], embed_dim=p["embed_dim"]
+        )
+
+    @register_target(
+        "ldm.models.autoencoder.IdentityFirstStage",
+        "sd_tpu.models.vae.IdentityFirstStage",
+    )
+    def _ident(p):
+        return IdentityFirstStage()
+
+    @register_target(
+        "ldm.modules.encoders.modules.FrozenCLIPEmbedder",
+        "sd_tpu.models.clip.CLIPTextModel",
+    )
+    def _clip(p):
+        return CLIPTextModel(CLIP_VIT_L_14_TEXT)
+
+    @register_target(
+        "ldm.modules.encoders.modules.ClassEmbedder",
+        "sd_tpu.models.encoders.ClassEmbedder",
+    )
+    def _classemb(p):
+        return ClassEmbedder(
+            embed_dim=p["embed_dim"], n_classes=p.get("n_classes", 1000)
+        )
+
+    @register_target(
+        "ldm.modules.encoders.modules.BERTEmbedder",
+        "sd_tpu.models.encoders.BERTEmbedder",
+    )
+    def _bert(p):
+        return BERTEmbedder(
+            n_embed=p["n_embed"], n_layer=p["n_layer"],
+            vocab_size=p.get("vocab_size", 30522),
+            max_seq_len=p.get("max_seq_len", 77),
+        )
+
+    @register_target(
+        "ldm.modules.encoders.modules.TransformerEmbedder",
+        "sd_tpu.models.encoders.TransformerEmbedder",
+    )
+    def _tfe(p):
+        return TransformerEmbedder(
+            n_embed=p["n_embed"], n_layer=p["n_layer"],
+            vocab_size=p.get("vocab_size", 30522),
+            max_seq_len=p.get("max_seq_len", 77),
+        )
+
+    @register_target(
+        "ldm.modules.encoders.modules.SpatialRescaler",
+        "sd_tpu.models.encoders.SpatialRescaler",
+    )
+    def _rescaler(p):
+        return SpatialRescaler(**p)
+
+
+_register_builtins()
+
+
+# ------------------------------------------------------------- model builder
+
+
+def build_latent_diffusion(
+    model_cfg: Dict,
+    rng: Optional[jax.Array] = None,
+    init_params: bool = True,
+    state_dict: Optional[Dict[str, np.ndarray]] = None,
+):
+    """Build a :class:`sd_tpu.models.ldm.LatentDiffusion` from a reference-style
+    model config node (the ``model:`` section of the shipped YAMLs).
+
+    ``init_params=True`` random-initializes everything (for training/tests);
+    passing ``state_dict`` ports a reference checkpoint instead
+    (``ddpm.py:186-202``-equivalent load, via the per-model port layers).
+    """
+    from sd_tpu.core.schedules import DiffusionSchedule
+    from sd_tpu.models.clip import CLIP_VIT_L_14_TEXT, port_clip_text
+    from sd_tpu.models.encoders import ClassEmbedder
+    from sd_tpu.models.ldm import LatentDiffusion
+    from sd_tpu.models.unet import port_unet
+    from sd_tpu.models.vae import (
+        AutoencoderKL,
+        IdentityFirstStage,
+        VQModel,
+        port_autoencoder_kl,
+        port_vq_model,
+    )
+
+    p = dict(model_cfg.get("params") or {})
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    schedule = DiffusionSchedule.create(
+        timesteps=p.get("timesteps", 1000),
+        beta_schedule=p.get("beta_schedule", "linear"),
+        linear_start=p.get("linear_start", 1e-4),
+        linear_end=p.get("linear_end", 2e-2),
+        cosine_s=p.get("cosine_s", 8e-3),
+        v_posterior=p.get("v_posterior", 0.0),
+        parameterization=p.get("parameterization", "eps"),
+    )
+
+    unet = instantiate_from_config(p["unet_config"])
+    ucfg = unet.config
+    image_size = p.get("image_size", ucfg.image_size)
+    channels = p.get("channels", ucfg.in_channels)
+
+    first_stage = None
+    if "first_stage_config" in p:
+        first_stage = instantiate_from_config(p["first_stage_config"])
+
+    cond_cfg = p.get("cond_stage_config")
+    conditioning_key = p.get("conditioning_key")
+    if conditioning_key is None and cond_cfg not in (None, UNCONDITIONAL_SENTINEL):
+        conditioning_key = "crossattn"  # LDM default (ddpm.py:437-441)
+    cond_stage = None
+    cond_is_first_stage = False
+    if cond_cfg == UNCONDITIONAL_SENTINEL or cond_cfg is None:
+        conditioning_key = None
+    elif cond_cfg == FIRST_STAGE_SENTINEL:
+        cond_stage = first_stage  # share (ddpm.py:509-515)
+        cond_is_first_stage = True
+    else:
+        cond_stage = instantiate_from_config(cond_cfg)
+
+    # ------------------------------------------------------ parameters
+    unet_params = first_params = cond_params = None
+    if state_dict is not None:
+        unet_params = port_unet(state_dict, ucfg, prefix="model.diffusion_model.")
+        if isinstance(first_stage, AutoencoderKL):
+            first_params = port_autoencoder_kl(
+                state_dict, first_stage.ddconfig, prefix="first_stage_model."
+            )
+        elif isinstance(first_stage, VQModel):
+            first_params = port_vq_model(
+                state_dict, first_stage.ddconfig, prefix="first_stage_model."
+            )
+        if cond_is_first_stage:
+            cond_params = first_params
+        elif cond_stage is not None and any(
+            k.startswith("cond_stage_model.transformer.text_model.")
+            for k in state_dict
+        ):
+            cond_params = port_clip_text(
+                state_dict, CLIP_VIT_L_14_TEXT,
+                prefix="cond_stage_model.transformer.text_model.",
+            )
+    elif init_params:
+        r_unet, r_first, r_cond = jax.random.split(rng, 3)
+        latent = jnp.zeros((1, image_size, image_size, channels))
+        t0 = jnp.zeros((1,), jnp.int32)
+        ctx = None
+        y = None
+        if conditioning_key in ("crossattn", "hybrid") and ucfg.context_dim:
+            ctx = jnp.zeros((1, 77, ucfg.context_dim))
+        if conditioning_key == "adm":
+            y = jnp.zeros((1,), jnp.int32)
+        xin = latent
+        if conditioning_key in ("concat", "hybrid"):
+            xin = jnp.zeros((1, image_size, image_size, ucfg.in_channels))
+        unet_params = unet.init(r_unet, xin, t0, ctx, y)["params"]
+
+        if first_stage is not None and not isinstance(first_stage, IdentityFirstStage):
+            res = first_stage.ddconfig["resolution"]
+            img = jnp.zeros((1, res, res, first_stage.ddconfig["in_channels"]))
+            first_params = first_stage.init(r_first, img)["params"]
+        if cond_is_first_stage:
+            cond_params = first_params
+        elif cond_stage is not None:
+            cond_in = _example_cond_input(cond_stage)
+            cond_params = cond_stage.init(r_cond, cond_in)["params"]
+
+    return LatentDiffusion(
+        unet=unet,
+        unet_params=unet_params,
+        schedule=schedule,
+        first_stage_model=first_stage,
+        first_stage_params=first_params,
+        cond_stage_model=cond_stage,
+        cond_stage_params=cond_params,
+        conditioning_key=conditioning_key,
+        scale_factor=p.get("scale_factor", 1.0),
+        parameterization=p.get("parameterization", "eps"),
+        cond_stage_key=p.get("cond_stage_key", "caption"),
+    )
+
+
+def _example_cond_input(cond_stage):
+    from sd_tpu.models.clip import CLIPTextModel
+    from sd_tpu.models.encoders import (
+        BERTEmbedder,
+        ClassEmbedder,
+        SpatialRescaler,
+        TransformerEmbedder,
+    )
+
+    if isinstance(cond_stage, (CLIPTextModel,)):
+        return jnp.zeros((1, 77), jnp.int32)
+    if isinstance(cond_stage, (BERTEmbedder, TransformerEmbedder)):
+        return jnp.zeros((1, cond_stage.max_seq_len), jnp.int32)
+    if isinstance(cond_stage, ClassEmbedder):
+        return jnp.zeros((1,), jnp.int32)
+    if isinstance(cond_stage, SpatialRescaler):
+        return jnp.zeros((1, 32, 32, cond_stage.in_channels))
+    raise NotImplementedError(type(cond_stage))

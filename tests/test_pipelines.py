@@ -1,0 +1,138 @@
+"""End-to-end pipeline tests on tiny models: txt2img / img2img / inpaint
+seed-fixed snapshots (the reference has no automated equivalent — SURVEY.md
+§4 recommends exactly this pyramid level)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sd_tpu.data.tokenizer import HashTokenizer
+from sd_tpu.models.ldm import LatentDiffusion
+from sd_tpu.pipelines.img2img import (
+    Img2ImgPipeline,
+    InpaintPipeline,
+    preprocess_image,
+    preprocess_mask,
+)
+from sd_tpu.pipelines.txt2img import Txt2ImgPipeline
+from sd_tpu.utils.config import build_latent_diffusion
+from sd_tpu.utils.testing import tiny_sd_model_config, tiny_uncond_model_config
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    cfg = tiny_sd_model_config()
+    ldm = build_latent_diffusion(cfg, rng=jax.random.PRNGKey(7))
+    tok = HashTokenizer(vocab_size=64)
+    orig = tok.__call__
+    tok_call = lambda texts, context_length=8: orig(texts, context_length=8)
+    tok.__call__ = tok_call  # tiny context
+    pipe = Txt2ImgPipeline(
+        ldm=ldm, tokenizer=lambda texts: orig(texts, context_length=8),
+        latent_channels=4, downsample=2,
+    )
+    return pipe
+
+
+def test_txt2img_end_to_end(tiny_pipe):
+    imgs = tiny_pipe(
+        ["a tiny test prompt"], jax.random.PRNGKey(0), height=32, width=32,
+        steps=4, guidance_scale=3.0, sampler="ddim",
+    )
+    assert imgs.shape == (1, 32, 32, 3) and imgs.dtype == np.uint8
+
+
+def test_txt2img_seed_reproducible(tiny_pipe):
+    a = tiny_pipe(["prompt"], jax.random.PRNGKey(5), height=32, width=32,
+                  steps=3, sampler="plms")
+    b = tiny_pipe(["prompt"], jax.random.PRNGKey(5), height=32, width=32,
+                  steps=3, sampler="plms")
+    np.testing.assert_array_equal(a, b)
+    c = tiny_pipe(["prompt"], jax.random.PRNGKey(6), height=32, width=32,
+                  steps=3, sampler="plms")
+    assert np.any(a != c)
+
+
+@pytest.mark.parametrize("sampler", ["ddim", "plms", "dpm"])
+def test_txt2img_all_samplers(tiny_pipe, sampler):
+    imgs = tiny_pipe(["x"], jax.random.PRNGKey(1), height=32, width=32,
+                     steps=3, sampler=sampler)
+    assert imgs.shape == (1, 32, 32, 3)
+
+
+def test_txt2img_batch_and_negative(tiny_pipe):
+    imgs = tiny_pipe(
+        ["a", "b"], jax.random.PRNGKey(2), negative_prompts=["bad", "bad"],
+        height=32, width=32, steps=2, sampler="ddim",
+    )
+    assert imgs.shape == (2, 32, 32, 3)
+
+
+def test_img2img_strength(tiny_pipe):
+    init = (np.random.default_rng(0).random((32, 32, 3)) * 255).astype(np.uint8)
+    pipe = Img2ImgPipeline(tiny_pipe)
+    out_weak = pipe(init, ["p"], jax.random.PRNGKey(3), strength=0.2, steps=5)
+    out_strong = pipe(init, ["p"], jax.random.PRNGKey(3), strength=1.0, steps=5)
+    assert out_weak.shape == (1, 32, 32, 3)
+    # weak strength stays closer to the (decoded) init than strong
+    init_f = init.astype(np.float32)
+    d_weak = np.abs(out_weak[0].astype(np.float32) - init_f).mean()
+    d_strong = np.abs(out_strong[0].astype(np.float32) - init_f).mean()
+    assert d_weak < d_strong
+
+
+def test_img2img_strength_zero_is_reconstruction(tiny_pipe):
+    init = np.full((32, 32, 3), 128, np.uint8)
+    pipe = Img2ImgPipeline(tiny_pipe)
+    out = pipe(init, ["p"], jax.random.PRNGKey(4), strength=0.0, steps=5)
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_preprocess_image_mod32():
+    img = np.zeros((70, 100, 3), np.uint8)
+    out = preprocess_image(img)
+    assert out.shape == (1, 64, 96, 3)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+
+
+def test_preprocess_mask_downsamples_max():
+    m = np.zeros((32, 32))
+    m[:8, :8] = 1.0
+    out = preprocess_mask(m, downsample=8)
+    assert out.shape == (1, 4, 4, 1)
+    assert out[0, 0, 0, 0] == 1.0 and out[0, -1, -1, 0] == 0.0
+
+
+def test_inpaint_concat_conditioned():
+    """Concat-mode LDM: UNet sees latent+cond channels, output composited."""
+    cfg = tiny_sd_model_config()
+    p = cfg["params"]
+    p["conditioning_key"] = "concat"
+    p["cond_stage_config"] = "__is_first_stage__"
+    # UNet in_channels = 4 latent + 4 masked-image latent + 1 mask = 9
+    p["unet_config"]["params"].update(
+        in_channels=9, use_spatial_transformer=False, context_dim=None
+    )
+    ldm = build_latent_diffusion(cfg, rng=jax.random.PRNGKey(8))
+    pipe = InpaintPipeline(ldm=ldm, downsample=2)
+    img = np.full((32, 32, 3), 200, np.uint8)
+    mask = np.zeros((32, 32))
+    mask[8:24, 8:24] = 1.0
+    out = pipe(img, mask, jax.random.PRNGKey(9), steps=3)
+    assert out.shape == (1, 32, 32, 3)
+    # outside the mask the original pixels survive the composite
+    np.testing.assert_allclose(out[0, :4, :4].astype(int), 200, atol=2)
+
+
+def test_unconditional_model_builds_and_samples():
+    from sd_tpu.samplers import ddim_sample
+
+    cfg = tiny_uncond_model_config()
+    ldm = build_latent_diffusion(cfg, rng=jax.random.PRNGKey(10))
+    assert ldm.conditioning_key is None
+    z, _ = ddim_sample(ldm.apply_model, ldm.schedule, (1, 16, 16, 4), None,
+                       jax.random.PRNGKey(0), num_steps=3)
+    img = ldm.decode_first_stage(z)
+    assert img.shape == (1, 32, 32, 3)
