@@ -1,0 +1,124 @@
+"""Training CLI — rebuild of the reference ``main.py`` (L4 orchestration).
+
+Usage mirrors the reference: ``python main.py --base <cfg.yaml> [cfg2.yaml]
+-t [--resume logdir] [nested.key=value ...]``. OmegaConf's multi-base merge +
+dotlist overrides run through the sd_tpu config layer; the Lightning Trainer
+becomes the step-driven sd_tpu trainer over a jax.sharding mesh.
+"""
+
+import argparse
+import datetime
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("-b", "--base", nargs="*", default=[],
+                   help="base config yamls, merged left-to-right")
+    p.add_argument("-t", "--train", action="store_true")
+    p.add_argument("-r", "--resume", type=str, default="",
+                   help="resume from logdir or checkpoint")
+    p.add_argument("-n", "--name", type=str, default="")
+    p.add_argument("-l", "--logdir", type=str, default="logs")
+    p.add_argument("-s", "--seed", type=int, default=23)
+    p.add_argument("--max_steps", type=int, default=1000)
+    p.add_argument("--scale_lr", type=lambda v: v.lower() != "false", default=True)
+    p.add_argument("--ckpt", type=str, default="",
+                   help="torch .ckpt to warm-start from (weight port)")
+    return p.parse_known_args()
+
+
+def main():
+    opt, unknown = parse_args()
+    import jax
+
+    if os.environ.get("SD_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["SD_TPU_PLATFORM"])
+
+    import optax
+
+    from sd_tpu.training.diffusion_loss import LDMTrainer
+    from sd_tpu.training.lr_schedules import lambda_linear
+    from sd_tpu.training.trainer import (
+        DataModuleFromConfig,
+        ImageLogger,
+        Trainer,
+        scale_learning_rate,
+    )
+    from sd_tpu.utils.config import (
+        apply_dotlist,
+        build_latent_diffusion,
+        instantiate_from_config,
+        load_yaml,
+        merge_configs,
+    )
+
+    # ---- config assembly (main.py:460-516)
+    configs = [load_yaml(b) for b in opt.base]
+    if opt.resume:
+        logdir = opt.resume.rstrip("/")
+        base_cfgs = sorted(
+            os.path.join(logdir, "configs", f)
+            for f in os.listdir(os.path.join(logdir, "configs"))
+        ) if os.path.isdir(os.path.join(logdir, "configs")) else []
+        configs = [load_yaml(b) for b in base_cfgs] + configs
+    else:
+        now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+        name = opt.name or (os.path.splitext(os.path.basename(opt.base[0]))[0]
+                            if opt.base else "run")
+        logdir = os.path.join(opt.logdir, f"{now}_{name}")
+
+    config = merge_configs(configs)
+    dotlist = [a for a in unknown if "=" in a and not a.startswith("--")]
+    config = apply_dotlist(config, dotlist)
+
+    # ---- model
+    rng = jax.random.PRNGKey(opt.seed)
+    state_dict = None
+    if opt.ckpt:
+        from sd_tpu.utils.port import load_torch_state_dict
+
+        state_dict = load_torch_state_dict(opt.ckpt)
+    ldm = build_latent_diffusion(config["model"], rng=rng,
+                                 state_dict=state_dict,
+                                 init_params=state_dict is None)
+
+    # ---- data
+    data_cfg = dict(config["data"]["params"])
+    data = DataModuleFromConfig(
+        num_shards=jax.process_count(), shard_index=jax.process_index(),
+        **data_cfg,
+    )
+
+    # ---- optimizer + LR rule (main.py:685-693)
+    base_lr = config["model"]["params"].get("base_learning_rate", 1e-4)
+    lr = scale_learning_rate(base_lr, data_cfg["batch_size"],
+                             jax.device_count(), scale=opt.scale_lr)
+    sched_cfg = config["model"]["params"].get("scheduler_config")
+    if sched_cfg:
+        sched = instantiate_from_config(sched_cfg)
+        tx = optax.adamw(lambda s: lr * sched(s))
+    else:
+        tx = optax.adamw(lr)
+
+    trainer_obj = LDMTrainer(ldm=ldm, optimizer=tx)
+    state = trainer_obj.init_state()
+
+    harness = Trainer(
+        trainer_obj=trainer_obj, ldm=ldm, logdir=logdir,
+        max_steps=opt.max_steps, seed=opt.seed,
+        monitor=config["model"].get("params", {}).get("monitor"),
+        image_logger=ImageLogger(logdir),
+    )
+    harness.dump_config(config)
+
+    if opt.train:
+        harness.fit(state, data, resume=bool(opt.resume))
+    print(f"Done. Logs at {logdir}")
+
+
+if __name__ == "__main__":
+    main()

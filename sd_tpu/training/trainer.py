@@ -1,0 +1,263 @@
+"""Training orchestration — the ``main.py`` harness rebuilt (SURVEY.md L4).
+
+Pieces, mapped to the reference:
+- :class:`DataModuleFromConfig` (``main.py:162-237``): train/val loaders from
+  config nodes via the target registry;
+- LR scaling rule ``lr = accum x ndev x bs x base_lr`` (``main.py:685-693``);
+- :class:`ImageLogger` (``main.py:289-392``): periodic ``log_images`` grids
+  (750-step default cadence + early power-of-2 steps);
+- SetupCallback behavior (``main.py:240-286``): logdir/config dump at start;
+- checkpointing: save_last + monitored top-k (``main.py:569-590``) through
+  ``sd_tpu.utils.checkpoint``; SIGUSR1 -> immediate save ("melk",
+  ``main.py:696-713``); exception-path save (``main.py:717-722``);
+- resume from a logdir (``main.py:477-495``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import signal
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from sd_tpu.parallel.mesh import is_main_process
+from sd_tpu.utils.checkpoint import CheckpointManager, latest_checkpoint, restore_checkpoint
+from sd_tpu.utils.config import instantiate_from_config
+from sd_tpu.utils.image import make_grid, save_image, text_to_image
+
+__all__ = ["DataModuleFromConfig", "ImageLogger", "Trainer", "log_images"]
+
+
+class DataModuleFromConfig:
+    """Builds DataLoaders from dataset config nodes. Ref: ``main.py:162-237``."""
+
+    def __init__(self, batch_size: int, train: Optional[Dict] = None,
+                 validation: Optional[Dict] = None, test: Optional[Dict] = None,
+                 num_workers: Optional[int] = None, wrap: bool = False,
+                 num_shards: int = 1, shard_index: int = 0):
+        from sd_tpu.data.base import DataLoader
+
+        self.batch_size = batch_size
+        self.loaders: Dict[str, DataLoader] = {}
+        for split, cfg in [("train", train), ("validation", validation),
+                           ("test", test)]:
+            if cfg is None:
+                continue
+            ds = instantiate_from_config(cfg)
+            self.loaders[split] = DataLoader(
+                ds, batch_size=batch_size, shuffle=split == "train",
+                num_shards=num_shards, shard_index=shard_index,
+            )
+
+    def train_dataloader(self):
+        return self.loaders["train"]
+
+    def val_dataloader(self):
+        return self.loaders.get("validation")
+
+    def test_dataloader(self):
+        return self.loaders.get("test")
+
+
+def log_images(ldm, batch, rng, n_row: int = 4, sample_steps: int = 20,
+               sample: bool = True, plot_diffusion_rows: bool = True,
+               plot_denoise_rows: bool = False) -> Dict[str, np.ndarray]:
+    """The LDM ``log_images`` contract (``ddpm.py:1250-1359``): a dict of
+    named [-1,1] image arrays — inputs, reconstruction, conditioning,
+    diffusion row, samples (+ denoise row)."""
+    from sd_tpu.pipelines.txt2img import latents_to_images
+    from sd_tpu.samplers import ddim_sample, progressive_denoising
+
+    out: Dict[str, np.ndarray] = {}
+    n = min(n_row, batch["image"].shape[0])
+    x = jnp.asarray(batch["image"][:n])
+    out["inputs"] = np.asarray(x)
+
+    rng, k_enc, k_samp, k_diff = jax.random.split(rng, 4)
+    z = ldm.encode_to_latent(x, rng=k_enc)
+    out["reconstruction"] = np.asarray(ldm.decode_first_stage(z)) if (
+        ldm.first_stage_model is not None) else np.asarray(z)
+
+    raw_cond = batch.get(ldm.cond_stage_key)
+    cond = None
+    if raw_cond is not None and ldm.cond_stage_model is not None:
+        if isinstance(raw_cond, list) and isinstance(raw_cond[0], str):
+            out["conditioning"] = text_to_image(
+                (x.shape[2] * 4, x.shape[1] * 4), raw_cond[:n])
+            raw_cond = None  # host strings need a tokenizer; pipelines own it
+        else:
+            cond = ldm.get_learned_conditioning(jnp.asarray(raw_cond[:n]))
+
+    if plot_diffusion_rows:  # ddpm.py:1277-1294
+        rows = []
+        for t_frac in np.linspace(0, ldm.schedule.num_timesteps - 1, 6):
+            t = jnp.full((n,), int(t_frac), jnp.int32)
+            noise = jax.random.normal(k_diff, z.shape, z.dtype)
+            rows.append(np.asarray(ldm.decode_first_stage(
+                ldm.q_sample(z, t, noise))))
+        out["diffusion_row"] = make_grid(
+            np.concatenate(rows), n_rows=n)[None]
+
+    if sample and (cond is not None or ldm.conditioning_key is None):
+        z_samp, _ = ddim_sample(
+            ldm.apply_model, ldm.schedule, z.shape, cond, k_samp,
+            num_steps=sample_steps,
+        )
+        out["samples"] = np.asarray(ldm.decode_first_stage(z_samp))
+        if plot_denoise_rows:
+            _, x0_traj = progressive_denoising(
+                ldm.apply_model, ldm.schedule, z.shape, cond=cond, rng=k_samp,
+                log_every_t=ldm.schedule.num_timesteps // 6,
+            )
+            decoded = [np.asarray(ldm.decode_first_stage(t)) for t in x0_traj]
+            out["denoise_row"] = make_grid(np.concatenate(decoded), n_rows=n)[None]
+    return out
+
+
+class ImageLogger:
+    """Periodic image logging. Cadence: every ``every`` steps, plus early
+    power-of-2 steps (``main.py:372-381``)."""
+
+    def __init__(self, logdir: str, every: int = 750, max_images: int = 4,
+                 log_first_n: bool = True):
+        self.dir = os.path.join(logdir, "images")
+        self.every = every
+        self.max_images = max_images
+        self.log_first_n = log_first_n
+        os.makedirs(self.dir, exist_ok=True)
+
+    def should_log(self, step: int) -> bool:
+        if step % self.every == 0:
+            return True
+        return self.log_first_n and step <= 8 and (step & (step - 1)) == 0
+
+    def __call__(self, ldm, batch, step: int, rng, split: str = "train"):
+        if not (self.should_log(step) and is_main_process()):
+            return
+        imgs = log_images(ldm, batch, rng, n_row=self.max_images)
+        for name, arr in imgs.items():
+            grid = make_grid(np.clip((arr + 1.0) / 2.0, 0, 1))
+            path = os.path.join(
+                self.dir, f"{split}_{name}_step{step:08}.png")
+            save_image((grid * 255).astype(np.uint8), path)
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Step-driven training loop with checkpoints, image logging, signals."""
+
+    trainer_obj: Any              # LDMTrainer or VAEGANTrainer
+    ldm: Any
+    logdir: str
+    max_steps: int = 1000
+    val_every: int = 0
+    ckpt_every: int = 1000
+    monitor: Optional[str] = None
+    image_logger: Optional[ImageLogger] = None
+    seed: int = 42
+
+    def __post_init__(self):
+        os.makedirs(self.logdir, exist_ok=True)
+        self.ckpt = CheckpointManager(
+            os.path.join(self.logdir, "checkpoints"), monitor=self.monitor)
+        self._melk_requested = False
+        try:
+            signal.signal(signal.SIGUSR1, self._melk)
+        except ValueError:
+            pass  # not in main thread
+
+    def _melk(self, *args):  # main.py:696-703
+        print("Summoning checkpoint (SIGUSR1).")
+        self._melk_requested = True
+
+    def dump_config(self, config: Dict):
+        """SetupCallback config dump (``main.py:257-275``)."""
+        if not is_main_process():
+            return
+        cfgdir = os.path.join(self.logdir, "configs")
+        os.makedirs(cfgdir, exist_ok=True)
+        with open(os.path.join(cfgdir, "project.yaml"), "w") as f:
+            yaml.safe_dump(config, f)
+
+    def fit(self, state, data: DataModuleFromConfig, resume: bool = False):
+        rng = jax.random.PRNGKey(self.seed)
+        if resume:
+            path = latest_checkpoint(os.path.join(self.logdir, "checkpoints"))
+            if path:
+                state, meta = restore_checkpoint(path, target=state)
+                print(f"Restored from {path} (step {meta and meta.get('step')})")
+
+        step_fn = jax.jit(self.trainer_obj.train_step)
+        step = int(jax.device_get(state.step))
+        t0 = time.time()
+        try:
+            while step < self.max_steps:
+                for batch in data.train_dataloader():
+                    if step >= self.max_steps:
+                        break
+                    rng, k = jax.random.split(rng)
+                    state, aux = step_fn(state, _to_device(batch), k)
+                    step = int(jax.device_get(state.step))
+                    if step % 50 == 0:
+                        loss = float(jax.device_get(
+                            aux.get("loss", aux.get("total_loss", jnp.nan))))
+                        rate = step / max(time.time() - t0, 1e-9)
+                        print(f"step {step}: loss={loss:.4f} ({rate:.2f} it/s)")
+                    if self.image_logger is not None and self.ldm is not None:
+                        ldm = dataclasses.replace(
+                            self.ldm, unet_params=state.params["unet"])
+                        self.image_logger(ldm, batch, step, rng)
+                    if step % self.ckpt_every == 0 or self._melk_requested:
+                        self.ckpt.save_last(state, step, _scalars(aux))
+                        self._melk_requested = False
+                    if self.val_every and step % self.val_every == 0:
+                        self._validate(state, data, rng, step)
+        except BaseException:
+            # exception-path checkpoint (main.py:717-722)
+            self.ckpt.save_last(state, step)
+            raise
+        self.ckpt.save_last(state, step)
+        return state
+
+    def _validate(self, state, data, rng, step):
+        loader = data.val_dataloader()
+        if loader is None:
+            return
+        losses = []
+        for i, batch in enumerate(loader):
+            if i >= 8:
+                break
+            rng, k = jax.random.split(rng)
+            loss, aux = self.trainer_obj.loss_fn(state.params, _to_device(batch), k)
+            losses.append(float(jax.device_get(loss)))
+        metrics = {"val/loss_simple": float(np.mean(losses))}
+        print(f"validation @ step {step}: {metrics}")
+        self.ckpt.save_monitored(state, step, metrics)
+
+
+def _to_device(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items()
+            if isinstance(v, np.ndarray)}
+
+
+def _scalars(aux):
+    return {k: v for k, v in aux.items() if jnp.ndim(v) == 0}
+
+
+def scale_learning_rate(base_lr: float, batch_size: int, n_devices: int,
+                        accumulate: int = 1, scale: bool = True) -> float:
+    """``lr = accum x ndev x bs x base_lr`` (``main.py:685-693``)."""
+    if not scale:
+        return base_lr
+    lr = accumulate * n_devices * batch_size * base_lr
+    print(
+        f"Setting learning rate to {lr:.2e} = {accumulate} (accum) * "
+        f"{n_devices} (devices) * {batch_size} (batchsize) * {base_lr:.2e} (base_lr)"
+    )
+    return lr

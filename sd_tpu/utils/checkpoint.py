@@ -1,0 +1,126 @@
+"""Native checkpoint IO (orbax) + reference-checkpoint interop.
+
+Replaces the Lightning ``.ckpt`` flow (SURVEY.md §5.4): a checkpoint is a
+directory holding the sharded param/optimizer pytrees plus step metadata.
+Mirrors the reference's behaviors:
+- ``save_last`` + monitored top-k retention (``main.py:569-590``),
+- resume from a run dir (``main.py:477-495``),
+- ``init_from_ckpt``-style partial load with ``ignore_keys`` prefix filtering
+  (``ddpm.py:186-202``) via :func:`filter_state_dict`,
+- torch ``.ckpt`` ingestion through ``sd_tpu.utils.port``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+__all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "latest_checkpoint",
+    "CheckpointManager",
+    "filter_state_dict",
+]
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, tree: Any, metadata: Optional[Dict] = None) -> None:
+    """Write a pytree checkpoint + sidecar metadata json."""
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    _ckptr().save(path, jax.device_get(tree))
+    if metadata is not None:
+        with open(os.path.join(path, "sd_tpu_meta.json"), "w") as f:
+            json.dump(metadata, f)
+
+
+def restore_checkpoint(path: str, target: Any = None):
+    """Read a pytree checkpoint (+ metadata if present)."""
+    tree = _ckptr().restore(os.path.abspath(path), item=target)
+    meta_path = os.path.join(path, "sd_tpu_meta.json")
+    meta = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return tree, meta
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """The resume entry point: ``<ckpt_dir>/last`` if present, else the
+    highest-step ``step_*`` directory (``main.py:481-487`` analog)."""
+    last = os.path.join(ckpt_dir, "last")
+    if os.path.isdir(last):
+        return last
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [d for d in os.listdir(ckpt_dir) if d.startswith("step_")]
+    if not steps:
+        return None
+    best = max(steps, key=lambda d: int(d.split("_")[1]))
+    return os.path.join(ckpt_dir, best)
+
+
+class CheckpointManager:
+    """save_last + monitored top-k retention (``ModelCheckpoint`` analog)."""
+
+    def __init__(self, ckpt_dir: str, monitor: Optional[str] = None,
+                 save_top_k: int = 3, mode: str = "min"):
+        self.ckpt_dir = ckpt_dir
+        self.monitor = monitor
+        self.save_top_k = save_top_k
+        self.mode = mode
+        self._tracked: List[tuple] = []  # (metric, path)
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    def save_last(self, tree, step: int, metrics: Optional[Dict] = None):
+        save_checkpoint(
+            os.path.join(self.ckpt_dir, "last"), tree,
+            metadata={"step": int(step), "metrics": _jsonable(metrics)},
+        )
+
+    def save_monitored(self, tree, step: int, metrics: Dict):
+        """Keep the top-k checkpoints by the monitored metric."""
+        if self.monitor is None or self.monitor not in metrics:
+            return
+        value = float(metrics[self.monitor])
+        path = os.path.join(self.ckpt_dir, f"step_{int(step)}")
+        save_checkpoint(path, tree, metadata={
+            "step": int(step), "metrics": _jsonable(metrics)})
+        self._tracked.append((value, path))
+        reverse = self.mode == "max"
+        self._tracked.sort(key=lambda t: t[0], reverse=reverse)
+        while len(self._tracked) > self.save_top_k:
+            _, drop = self._tracked.pop()
+            if os.path.isdir(drop):
+                shutil.rmtree(drop)
+
+
+def _jsonable(metrics):
+    if metrics is None:
+        return None
+    return {k: float(np.asarray(v)) for k, v in metrics.items()
+            if np.ndim(v) == 0}
+
+
+def filter_state_dict(sd: Dict[str, Any], ignore_keys: Sequence[str] = ()) -> Dict:
+    """Drop keys by prefix — the reference's ``ignore_keys`` contract
+    (``ddpm.py:186-196``)."""
+    out = {}
+    for k, v in sd.items():
+        if any(k.startswith(ik) for ik in ignore_keys):
+            print(f"Deleting key {k} from state_dict.")
+            continue
+        out[k] = v
+    return out

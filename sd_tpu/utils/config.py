@@ -188,6 +188,76 @@ def _register_builtins():
     def _rescaler(p):
         return SpatialRescaler(**p)
 
+    # ------------------------------------------------------ data targets
+    def _data(name, cls_path):
+        @register_target(name, cls_path and f"sd_tpu.data.{cls_path}")
+        def _build(p):
+            import importlib
+
+            mod_name, cls_name = cls_path.rsplit(".", 1)
+            mod = importlib.import_module(f"sd_tpu.data.{mod_name}")
+            return getattr(mod, cls_name)(**p)
+
+    for ref, ours in [
+        ("ldm.data.lsun.LSUNChurchesTrain", "lsun.LSUNChurchesTrain"),
+        ("ldm.data.lsun.LSUNChurchesValidation", "lsun.LSUNChurchesValidation"),
+        ("ldm.data.lsun.LSUNBedroomsTrain", "lsun.LSUNBedroomsTrain"),
+        ("ldm.data.lsun.LSUNBedroomsValidation", "lsun.LSUNBedroomsValidation"),
+        ("ldm.data.lsun.LSUNCatsTrain", "lsun.LSUNCatsTrain"),
+        ("ldm.data.lsun.LSUNCatsValidation", "lsun.LSUNCatsValidation"),
+        ("ldm.data.imagenet.ImageNetTrain", "imagenet.ImageNetTrain"),
+        ("ldm.data.imagenet.ImageNetValidation", "imagenet.ImageNetValidation"),
+        ("ldm.data.imagenet.ImageNetSRTrain", "imagenet.ImageNetSRTrain"),
+        ("ldm.data.imagenet.ImageNetSRValidation", "imagenet.ImageNetSRValidation"),
+        ("sd_tpu.data.synthetic.SyntheticImages", "synthetic.SyntheticImages"),
+    ]:
+        _data(ref, ours)
+
+    @register_target("sd_tpu.training.trainer.DataModuleFromConfig",
+                     "main.DataModuleFromConfig")
+    def _datamodule(p):
+        from sd_tpu.training.trainer import DataModuleFromConfig
+
+        return DataModuleFromConfig(**p)
+
+    # ----------------------------------------------------- LR schedulers
+    @register_target("ldm.lr_scheduler.LambdaLinearScheduler",
+                     "sd_tpu.training.lr_schedules.lambda_linear")
+    def _lambda_linear(p):
+        from sd_tpu.training.lr_schedules import lambda_linear
+
+        return lambda_linear(p["warm_up_steps"], p["f_min"], p["f_max"],
+                             p["f_start"], p["cycle_lengths"])
+
+    @register_target("ldm.lr_scheduler.LambdaWarmUpCosineScheduler2",
+                     "sd_tpu.training.lr_schedules.lambda_warmup_cosine2")
+    def _lambda_cos2(p):
+        from sd_tpu.training.lr_schedules import lambda_warmup_cosine2
+
+        return lambda_warmup_cosine2(p["warm_up_steps"], p["f_min"],
+                                     p["f_max"], p["f_start"],
+                                     p["cycle_lengths"])
+
+    @register_target("ldm.lr_scheduler.LambdaWarmUpCosineScheduler",
+                     "sd_tpu.training.lr_schedules.lambda_warmup_cosine")
+    def _lambda_cos(p):
+        from sd_tpu.training.lr_schedules import lambda_warmup_cosine
+
+        return lambda_warmup_cosine(p["warm_up_steps"], p["lr_min"],
+                                    p["lr_max"], p["lr_start"],
+                                    p["max_decay_steps"])
+
+    # losses (instantiated by VAE training configs)
+    @register_target("ldm.modules.losses.LPIPSWithDiscriminator",
+                     "ldm.modules.losses.contperceptual.LPIPSWithDiscriminator")
+    def _kl_loss_cfg(p):
+        return dict(kind="lpips_with_discriminator", **p)
+
+    @register_target("taming.modules.losses.vqperceptual.VQLPIPSWithDiscriminator",
+                     "ldm.modules.losses.vqperceptual.VQLPIPSWithDiscriminator")
+    def _vq_loss_cfg(p):
+        return dict(kind="vq_lpips_with_discriminator", **p)
+
 
 _register_builtins()
 
