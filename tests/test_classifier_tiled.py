@@ -1,0 +1,135 @@
+"""Tests for EncoderUNetModel/classifier training and tiled application."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sd_tpu.core.schedules import DiffusionSchedule
+from sd_tpu.models.encoder_unet import EncoderUNetConfig, EncoderUNetModel
+from sd_tpu.pipelines.tiled import (
+    extract_patches,
+    fold_patches,
+    tiled_apply,
+    tiling_weights,
+)
+from sd_tpu.training.classifier import (
+    NoisyLatentClassifierTrainer,
+    classifier_guidance_corrector,
+    compute_top_k,
+)
+
+SCHED = DiffusionSchedule.create(timesteps=100)
+
+TINY_ENC = EncoderUNetConfig(
+    in_channels=3, model_channels=32, out_channels=5, num_res_blocks=1,
+    attention_resolutions=[2], channel_mult=[1, 2], image_size=16,
+    num_head_channels=8,
+)
+
+
+@pytest.mark.parametrize("pool", ["adaptive", "attention", "spatial", "spatial_v2"])
+def test_encoder_unet_pools(pool, rng):
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_ENC, pool=pool)
+    model = EncoderUNetModel(config=cfg)
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.zeros((2,))
+    params = model.init(rng, x, t)["params"]
+    out = model.apply({"params": params}, x, t)
+    assert out.shape == (2, 5)
+
+
+def test_compute_top_k():
+    logits = jnp.array([[0.1, 0.9, 0.0], [0.9, 0.1, 0.0]])
+    labels = jnp.array([1, 1])
+    assert float(compute_top_k(logits, labels, 1)) == 0.5
+    assert float(compute_top_k(logits, labels, 2)) == 1.0
+
+
+def test_classifier_trains(rng):
+    model = EncoderUNetModel(config=TINY_ENC)
+    trainer = NoisyLatentClassifierTrainer(model=model, schedule=SCHED,
+                                           learning_rate=1e-3)
+    state = trainer.init_state(rng, (16, 16, 3))
+    batch = {
+        "image": jax.random.normal(rng, (4, 16, 16, 3)),
+        "class_label": jnp.array([0, 1, 2, 3]),
+    }
+    step = jax.jit(trainer.train_step)
+    losses = []
+    for i in range(6):
+        state, aux = step(state, batch, jax.random.PRNGKey(7))
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < losses[0]
+    assert 0.0 <= float(aux["acc@1"]) <= 1.0
+    buckets = trainer.eval_noise_buckets(state, batch, rng)
+    assert len(buckets) == 10
+
+
+def test_classifier_guidance_corrector_shifts_eps(rng):
+    model = EncoderUNetModel(config=TINY_ENC)
+    trainer = NoisyLatentClassifierTrainer(model=model, schedule=SCHED)
+    state = trainer.init_state(rng, (16, 16, 3))
+    corr = classifier_guidance_corrector(model, state.params, SCHED,
+                                         target_labels=jnp.array([1]), scale=2.0)
+    x = jax.random.normal(rng, (1, 16, 16, 3))
+    e = jnp.zeros_like(x)
+    t = jnp.array([50])
+    out = corr(e, x, t, None)
+    assert out.shape == x.shape
+    assert np.abs(np.asarray(out)).max() > 0  # gradient flows
+
+
+# ------------------------------------------------------------------- tiling
+
+
+def test_tiling_weights_properties():
+    w = tiling_weights(8)
+    assert w.shape == (8, 8)
+    assert w[0, 0] == w[-1, -1]          # symmetric
+    assert w[4, 4] > w[0, 0]             # center heavier than corner
+    assert w.min() >= 0.01 and w.max() <= 0.5
+
+
+def test_extract_fold_identity():
+    """Identity fn through tiling must reproduce the input exactly."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    out = tiled_apply(lambda p: p, x, ks=8, stride=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_tiled_apply_covers_uneven_grid():
+    """Canvas not divisible by stride: right/bottom-aligned final patches."""
+    x = jnp.ones((1, 20, 28, 2))
+    out = tiled_apply(lambda p: p * 2.0, x, ks=8, stride=6)
+    assert out.shape == (1, 20, 28, 2)
+    np.testing.assert_allclose(np.asarray(out), 2.0, atol=1e-5)
+
+
+def test_tiled_apply_upscaling_decoder():
+    """out_scale=2: each tile doubles (a decoder-like fn); stitched output
+    doubles the canvas."""
+    x = jnp.ones((1, 16, 16, 4))
+
+    def fake_decoder(p):
+        return jnp.repeat(jnp.repeat(p, 2, axis=1), 2, axis=2)[..., :3]
+
+    out = tiled_apply(fake_decoder, x, ks=8, stride=4, out_scale=2)
+    assert out.shape == (1, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
+
+
+def test_tiled_model_consistency_on_smooth_fn():
+    """A spatially-local fn (blur-free pointwise) gives identical results
+    tiled vs untiled."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 24, 24, 3)), jnp.float32)
+    fn = lambda p: jnp.tanh(p) * 0.5 + p
+    np.testing.assert_allclose(
+        np.asarray(tiled_apply(fn, x, ks=8, stride=4)),
+        np.asarray(fn(x)), atol=1e-5,
+    )
