@@ -247,6 +247,45 @@ def _register_builtins():
                                     p["lr_max"], p["lr_start"],
                                     p["max_decay_steps"])
 
+    @register_target("torch.nn.Identity")
+    def _identity(p):
+        return lambda x, *a, **k: x
+
+    @register_target("ldm.modules.losses.contperceptual.DummyLoss")
+    def _dummy_loss(p):
+        return dict(kind="dummy_loss")
+
+    # Datasets the reference references but does not ship (SURVEY §2.7
+    # "missing-in-repo datasets" — the data layer is pluggable by target)
+    for missing in [
+        "ldm.data.openimages.FullOpenImagesTrain",
+        "ldm.data.openimages.FullOpenImagesValidation",
+        "ldm.data.openimages.SuperresOpenImagesAdvancedTrain",
+        "ldm.data.openimages.SuperresOpenImagesAdvancedValidation",
+        "ldm.data.openimages.OpenImagesBBoxTrain",
+        "ldm.data.openimages.OpenImagesBBoxValidation",
+        "ldm.data.landscapes.RFWTrain",
+        "ldm.data.landscapes.RFWValidation",
+        "ldm.data.faceshq.FFHQTrain",
+        "ldm.data.faceshq.FFHQValidation",
+        "ldm.data.faceshq.CelebAHQTrain",
+        "ldm.data.faceshq.CelebAHQValidation",
+        "taming.data.faceshq.FFHQTrain",
+        "taming.data.faceshq.FFHQValidation",
+        "taming.data.faceshq.CelebAHQTrain",
+        "taming.data.faceshq.CelebAHQValidation",
+        "ldm.data.previews.pytorch_dataset.PreviewsTrain",
+        "ldm.data.previews.pytorch_dataset.PreviewsValidation",
+    ]:
+        def _missing(p, _name=missing):
+            raise NotImplementedError(
+                f"dataset target {_name!r} is a pluggable external dataset "
+                f"(absent from the reference repo too); provide your own via "
+                f"register_target."
+            )
+
+        _REGISTRY[missing] = _missing
+
     # losses (instantiated by VAE training configs)
     @register_target("ldm.modules.losses.LPIPSWithDiscriminator",
                      "ldm.modules.losses.contperceptual.LPIPSWithDiscriminator")

@@ -119,7 +119,9 @@ def demangle_ema_keys(sd: Mapping, model_prefix: str = "model.") -> Dict[str, np
     ``LitEma`` registers one buffer per parameter with '.' stripped from the
     name (``ema.py:16-21``): ``model.diffusion_model.input_blocks.0.0.weight``
     -> ``model_ema.diffusion_modelinput_blocks00weight``. Reconstruct the
-    dotted names by matching against the model keys present in ``sd``.
+    dotted names by matching against the model keys present in ``sd``;
+    returns a dict keyed by the FULL original key (``model.<dotted>``) so it
+    can directly overwrite the state_dict for EMA-weight inference.
     """
     model_keys = [k for k in sd if k.startswith(model_prefix)]
     mangled_to_dotted = {
