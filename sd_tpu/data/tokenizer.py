@@ -174,6 +174,71 @@ class CLIPTokenizer:
         return out
 
 
+class BERTWordPieceTokenizer:
+    """WordPiece tokenizer with BERT conventions — backs :class:`BERTEmbedder`
+    (the reference uses HF BertTokenizerFast, ``modules.py:53-77``: [CLS] +
+    tokens + [SEP], pad with [PAD]=0, truncate to max_length).
+
+    Vocab: a BERT ``vocab.txt`` (one token per line, ## continuation pieces),
+    or any dict for tests.
+    """
+
+    def __init__(self, vocab, lowercase: bool = True):
+        if isinstance(vocab, str):
+            with open(vocab, encoding="utf-8") as f:
+                tokens = [l.rstrip("\n") for l in f]
+            vocab = {t: i for i, t in enumerate(tokens)}
+        self.vocab = dict(vocab)
+        self.lowercase = lowercase
+        self.pad_id = self.vocab.get("[PAD]", 0)
+        self.cls_id = self.vocab.get("[CLS]", 101)
+        self.sep_id = self.vocab.get("[SEP]", 102)
+        self.unk_id = self.vocab.get("[UNK]", 100)
+
+    def _split(self, text: str) -> List[str]:
+        import regex as re
+
+        text = _clean(text)
+        if self.lowercase:
+            text = text.lower()
+        return re.findall(r"[\p{L}\p{N}]+|[^\s\p{L}\p{N}]", text)
+
+    def _wordpiece(self, word: str) -> List[int]:
+        ids: List[int] = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            piece_id = None
+            while end > start:
+                piece = word[start:end]
+                if start > 0:
+                    piece = "##" + piece
+                if piece in self.vocab:
+                    piece_id = self.vocab[piece]
+                    break
+                end -= 1
+            if piece_id is None:
+                return [self.unk_id]
+            ids.append(piece_id)
+            start = end
+        return ids
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        for w in self._split(text):
+            ids.extend(self._wordpiece(w))
+        return ids
+
+    def __call__(self, texts, context_length: int = 77) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        out = np.full((len(texts), context_length), self.pad_id, dtype=np.int32)
+        for i, text in enumerate(texts):
+            ids = [self.cls_id] + self.encode(text)[: context_length - 2] + [self.sep_id]
+            out[i, : len(ids)] = ids
+        return out
+
+
 class HashTokenizer:
     """Vocabulary-free stand-in with the same call contract — deterministic
     word-hash ids. Lets pipelines/tests run where the BPE asset is absent;

@@ -173,6 +173,21 @@ class SpatialRescaler(nn.Module):
         return self(x)
 
 
+class HybridConditioner(nn.Module):
+    """Pairs a concat conditioner with a crossattn conditioner and returns the
+    dict the DiffusionWrapper's hybrid mode consumes.
+    Ref: ``ldm/modules/diffusionmodules/util.py:251-262``."""
+
+    concat_conditioner: Any
+    crossattn_conditioner: Any
+
+    def __call__(self, c_concat, c_crossattn):
+        return {
+            "c_concat": [self.concat_conditioner(c_concat)],
+            "c_crossattn": [self.crossattn_conditioner(c_crossattn)],
+        }
+
+
 @dataclasses.dataclass
 class FrozenCLIPEmbedder:
     """Tokenizer + CLIP text tower, returning the 77-token context.

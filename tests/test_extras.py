@@ -1,0 +1,146 @@
+"""Tests for VAE extras, HybridConditioner, WordPiece tokenizer, and bbox
+layout conditioning."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sd_tpu.data.layout import BBoxTokenizer, plot_bboxes
+from sd_tpu.data.tokenizer import BERTWordPieceTokenizer
+from sd_tpu.models.encoders import HybridConditioner
+from sd_tpu.models.vae_extras import (
+    FirstStagePostProcessor,
+    LatentRescaler,
+    MergedRescaleDecoder,
+    MergedRescaleEncoder,
+    SimpleDecoder,
+    UpsampleDecoder,
+    Upsampler,
+    resize,
+)
+
+
+def test_simple_decoder(rng):
+    m = SimpleDecoder(in_channels=32, out_channels=3)
+    x = jnp.zeros((1, 8, 8, 32))
+    params = m.init(rng, x)["params"]
+    out = m.apply({"params": params}, x)
+    assert out.shape == (1, 16, 16, 3)  # one 2x upsample
+
+
+def test_upsample_decoder(rng):
+    m = UpsampleDecoder(in_channels=32, out_channels=3, ch=32,
+                        num_res_blocks=1, resolution=32, ch_mult=(2, 2))
+    x = jnp.zeros((1, 8, 8, 32))
+    params = m.init(rng, x)["params"]
+    out = m.apply({"params": params}, x)
+    assert out.shape == (1, 16, 16, 3)  # len(ch_mult)-1 upsamples
+
+
+@pytest.mark.parametrize("factor,expected", [(2.0, 16), (0.5, 4)])
+def test_latent_rescaler(rng, factor, expected):
+    m = LatentRescaler(factor=factor, in_channels=8, mid_channels=32,
+                       out_channels=8)
+    x = jnp.zeros((1, 8, 8, 8))
+    params = m.init(rng, x)["params"]
+    out = m.apply({"params": params}, x)
+    assert out.shape == (1, expected, expected, 8)
+
+
+def test_merged_rescale_roundtrip(rng):
+    enc = MergedRescaleEncoder(in_channels=3, ch=32, resolution=32, out_ch=8,
+                               num_res_blocks=1, ch_mult=(1, 2),
+                               rescale_factor=1.0)
+    x = jnp.zeros((1, 32, 32, 3))
+    ep = enc.init(rng, x)["params"]
+    z = enc.apply({"params": ep}, x)
+    assert z.shape == (1, 16, 16, 8)
+
+    dec = MergedRescaleDecoder(z_channels=16, out_ch=3, resolution=32,
+                               num_res_blocks=1, ch=32, ch_mult=(1, 2),
+                               rescale_factor=1.0)
+    z16 = jnp.zeros((1, 16, 16, 16))
+    dp = dec.init(rng, z16)["params"]
+    out = dec.apply({"params": dp}, z16)
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_upsampler(rng):
+    m = Upsampler(in_size=8, out_size=16, in_channels=32, out_channels=3)
+    x = jnp.zeros((1, 8, 8, 32))
+    params = m.init(rng, x)["params"]
+    out = m.apply({"params": params}, x)
+    assert out.shape[1] == 16 and out.shape[-1] == 3
+
+
+def test_resize_functional():
+    x = jnp.ones((1, 8, 8, 3))
+    assert resize(x, 1.0) is x
+    assert resize(x, 2.0).shape == (1, 16, 16, 3)
+
+
+def test_first_stage_post_processor(rng):
+    m = FirstStagePostProcessor(ch_mult=[1, 2], in_channels=4, n_channels=32,
+                                reshape=True)
+    z = jnp.zeros((1, 16, 16, 4))
+    params = m.init(rng, z)["params"]
+    out = m.apply({"params": params}, z)
+    assert out.shape == (1, 16, 64)  # two /2 downsamples, reshaped to tokens
+
+
+def test_hybrid_conditioner():
+    hc = HybridConditioner(concat_conditioner=lambda x: x * 2,
+                           crossattn_conditioner=lambda x: x + 1)
+    out = hc(jnp.ones((1, 2)), jnp.zeros((1, 3)))
+    np.testing.assert_allclose(np.asarray(out["c_concat"][0]), 2.0)
+    np.testing.assert_allclose(np.asarray(out["c_crossattn"][0]), 1.0)
+
+
+# ------------------------------------------------------------- wordpiece
+
+
+def test_wordpiece_tokenizer():
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3,
+             "hello": 4, "wor": 5, "##ld": 6, "!": 7}
+    tok = BERTWordPieceTokenizer(vocab)
+    assert tok.encode("hello world!") == [4, 5, 6, 7]
+    batch = tok(["hello world!"], context_length=8)
+    assert batch.tolist() == [[2, 4, 5, 6, 7, 3, 0, 0]]
+    # unknown word -> [UNK]
+    assert tok.encode("xyz") == [1]
+
+
+def test_wordpiece_truncation_and_case():
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, "a": 4}
+    tok = BERTWordPieceTokenizer(vocab)
+    assert tok.encode("A a A") == [4, 4, 4]
+    out = tok(["a " * 50], context_length=6)
+    assert out.shape == (1, 6)
+    assert out[0, -1] == 3  # SEP still terminates
+
+
+# ------------------------------------------------------------------ layout
+
+
+def test_bbox_tokenizer_roundtrip():
+    tok = BBoxTokenizer(n_classes=10, n_bins=64, max_objects=3)
+    objs = [(2, 0.1, 0.2, 0.5, 0.6), (7, 0.0, 0.0, 1.0, 1.0)]
+    ids = tok.encode(objs)
+    assert ids.shape == (15,)
+    dec = tok.decode(ids)
+    assert len(dec) == 2
+    assert dec[0][0] == 2 and dec[1][0] == 7
+    np.testing.assert_allclose(dec[0][1:], objs[0][1:], atol=1 / 63)
+    # batch call pads
+    batch = tok([objs, []])
+    assert batch.shape == (2, 15)
+    assert (batch[1] == tok.pad_id).all()
+
+
+def test_plot_bboxes():
+    img = plot_bboxes([(1, 0.1, 0.1, 0.6, 0.6)], size=64)
+    assert img.shape == (64, 64, 3)
+    assert img.min() >= -1.0 and img.max() <= 1.0
+    assert img.std() > 0  # something was drawn
