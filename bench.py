@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_IMAGES_PER_SEC = 0.45
-BATCH = int(os.environ.get("BENCH_BATCH", "4"))       # images per batch
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))       # images per batch
 STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 ITERS = int(os.environ.get("BENCH_ITERS", "2"))
 

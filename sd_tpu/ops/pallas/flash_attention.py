@@ -31,7 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flash_attention", "flash_supported"]
 
-# largest q-block: [block_q, N] fp32 scores must fit VMEM next to K/V
+# largest q-block: [block_q, N] fp32 scores must fit VMEM next to K/V.
+# 512 is the measured optimum at N=4096 on v5e (256: 11.9ms, 512/1024: 10.4ms)
 _BLOCK_Q = 512
 _MAX_KV_VMEM = 4096  # full-KV-in-VMEM design limit
 
@@ -44,10 +45,16 @@ def flash_supported(q, k, v, mask=None) -> bool:
         return False
     b, nq, h, d = q.shape
     nk = k.shape[1]
-    # measured on v5e: the kernel wins decisively at N=4096 (no [N,N] fp32
-    # HBM round-trip); at N<=1024 the XLA einsum path is still faster for
-    # these head dims — auto-dispatch stays conservative (see bench history).
-    if nk > _MAX_KV_VMEM or nk < 2048:
+    # measured on v5e (B=16 CFG batch): flash wins decisively at N=4096
+    # (10.4ms vs ~21ms XLA; no [N,N] fp32 HBM round-trip) and at N=256
+    # (4.1ms vs 11.7ms — XLA lowers the d=160 einsum badly); N=1024 is a
+    # wash (3.1 vs 3.4) with batch-dependent flips, left to XLA. Cross-attn
+    # (77 keys) stays XLA (2.4ms vs 3.3ms padded-flash).
+    if nk > _MAX_KV_VMEM:
+        return False
+    if not (nk >= 2048 or nk <= 256):
+        return False
+    if nk < 128:
         return False
     if nq % _min_block_q(nq) != 0 or nk % 128 != 0:
         return False
