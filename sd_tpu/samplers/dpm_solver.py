@@ -83,14 +83,24 @@ def dpm_solver_sample(
     lower_order_final: bool = True,
     t_start: Optional[float] = None,
     t_end: Optional[float] = None,
+    order: int = 2,
 ):
-    """DPM-Solver++(2M) over a uniform time grid.
+    """Multistep DPM-Solver++ (orders 1-3) over a uniform time grid.
 
     ``model_fn`` is the usual eps model; conversion to the data-prediction
     (x0) parameterization happens internally (``predict_x0=True`` mode,
-    ``dpm_solver.py:352-380``).
+    ``dpm_solver.py:352-380``). ``order=2`` is the configuration the
+    reference ships (``dpm_solver/sampler.py:80``); 1 and 3 follow
+    ``multistep_dpm_solver_update`` (``dpm_solver.py:885-905``) with the
+    lower-order bootstrap/final-step rules of ``sample`` (``:1085-1105``).
     """
-    assert num_steps >= 2, "multistep order-2 needs at least 2 steps"
+    assert order in (1, 2, 3)
+    assert num_steps >= order, f"multistep order-{order} needs >= {order} steps"
+    if order != 2:
+        return _dpm_multistep_general(
+            model_fn, schedule, shape, cond, rng, num_steps, uncond,
+            guidance_scale, x_T, lower_order_final, t_start, t_end, order,
+        )
     ns = DiscreteNoiseSchedule.from_schedule(schedule)
     t_T = 1.0 if t_start is None else float(t_start)
     t_0 = 1.0 / ns.total_N if t_end is None else float(t_end)
@@ -163,4 +173,73 @@ def dpm_solver_sample(
         d1 = (h[i - 2] / h[i - 1]) ** -1.0 * (m_prev0 - m_prev1)
         aphi = (alpha[i] * np.expm1(-h[i - 1])).astype(np.float32)
         x = (sigma[i] / sigma[i - 1]).astype(np.float32) * x - aphi * m_prev0 - 0.5 * aphi * d1
+    return x
+
+
+def _dpm_multistep_general(
+    model_fn, schedule, shape, cond, rng, num_steps, uncond, guidance_scale,
+    x_T, lower_order_final, t_start, t_end, order,
+):
+    """Orders 1 and 3 (unrolled-in-jit loop; order 2 has the scan fast path).
+
+    Every lambda/sigma/alpha coefficient is static per step index, so each
+    update is a tiny fused program around the model call.
+    """
+    ns = DiscreteNoiseSchedule.from_schedule(schedule)
+    t_T = 1.0 if t_start is None else float(t_start)
+    t_0 = 1.0 / ns.total_N if t_end is None else float(t_end)
+
+    ts = np.linspace(t_T, t_0, num_steps + 1)
+    lam = ns.lam(ts)
+    alpha = np.exp(ns.log_alpha(ts))
+    sigma = ns.sigma(ts)
+    h = lam[1:] - lam[:-1]
+    model_t = ns.model_time(ts).astype(np.float32)
+
+    eps = make_guided_eps(model_fn, cond, uncond, guidance_scale)
+    rng, rng_init = jax.random.split(rng)
+    x = x_T if x_T is not None else jax.random.normal(rng_init, shape)
+    b = x.shape[0]
+
+    def x0_model(x, i):
+        e = eps(x, jnp.full((b,), model_t[i]))
+        return (x - sigma[i].astype(np.float32) * e) / alpha[i].astype(np.float32)
+
+    def update(x, ms, i, step_order):
+        """Move from grid i-1 to i using the latest models ms=[m0, m1, m2]
+        (m0 most recent). Ref: multistep updates, predict_x0 'dpm_solver'."""
+        aphi = (alpha[i] * np.expm1(-h[i - 1])).astype(np.float32)
+        sr = (sigma[i] / sigma[i - 1]).astype(np.float32)
+        if step_order == 1:
+            return sr * x - aphi * ms[0]
+        if step_order == 2:
+            r0 = h[i - 2] / h[i - 1]
+            d1 = (1.0 / r0).astype(np.float32) * (ms[0] - ms[1])
+            return sr * x - aphi * ms[0] - 0.5 * aphi * d1
+        # order 3 (dpm_solver.py:835-849)
+        h_1, h_0, hh = h[i - 3], h[i - 2], h[i - 1]
+        r0, r1 = h_0 / hh, h_1 / hh
+        d1_0 = (1.0 / r0).astype(np.float32) * (ms[0] - ms[1])
+        d1_1 = (1.0 / r1).astype(np.float32) * (ms[1] - ms[2])
+        d1 = d1_0 + (r0 / (r0 + r1)).astype(np.float32) * (d1_0 - d1_1)
+        d2 = (1.0 / (r0 + r1)).astype(np.float32) * (d1_0 - d1_1)
+        c1 = (alpha[i] * (np.expm1(-hh) / hh + 1.0)).astype(np.float32)
+        c2 = (alpha[i] * ((np.expm1(-hh) + hh) / hh**2 - 0.5)).astype(np.float32)
+        return sr * x - aphi * ms[0] + c1 * d1 - c2 * d2
+
+    ms = [x0_model(x, 0)]
+    # lower-order bootstrap (dpm_solver.py:1089-1093)
+    for i in range(1, order):
+        x = update(x, ms[::-1], i, step_order=i)
+        ms.append(x0_model(x, i))
+    # main loop (dpm_solver.py:1094-1105)
+    for step in range(order, num_steps + 1):
+        if lower_order_final and num_steps < 15:
+            step_order = min(order, num_steps + 1 - step)
+        else:
+            step_order = order
+        x = update(x, ms[::-1][:3], step, step_order)
+        ms = ms[1:] if len(ms) >= order else ms
+        if step < num_steps:
+            ms.append(x0_model(x, step))
     return x

@@ -306,3 +306,52 @@ def test_samplers_are_jittable(rng):
     xT = jax.random.normal(rng, SHAPE)
     out = fn(jax.random.PRNGKey(0), xT)
     assert out.shape == SHAPE
+
+
+# order-3 with steps<15 crashes the REFERENCE itself (multistep_dpm_solver_update
+# passes the full 3-model history into the 2-model lower-order update —
+# upstream bug); our implementation slices correctly, so parity is only
+# checkable at steps>=15 where no downgrade happens.
+@pytest.mark.parametrize("order,steps", [(1, 10), (3, 16), (3, 20)])
+def test_dpm_solver_multistep_orders_parity(order, steps):
+    import torch
+
+    torch.manual_seed(56 + order)
+    from ldm.models.diffusion.dpm_solver.dpm_solver import (
+        DPM_Solver,
+        NoiseScheduleVP,
+        model_wrapper,
+    )
+
+    fake = TorchFakeLDM()
+    ns = NoiseScheduleVP("discrete", alphas_cumprod=fake.alphas_cumprod)
+    wrapped = model_wrapper(
+        lambda x, t: fake.apply_model(x, t, None), ns, model_type="noise",
+        guidance_type="uncond",
+    )
+    solver = DPM_Solver(wrapped, ns, predict_x0=True, thresholding=False)
+    x_T = torch.randn(1, 3, 8, 8)
+    ref = solver.sample(x_T.clone(), steps=steps, skip_type="time_uniform",
+                        method="multistep", order=order, lower_order_final=True)
+
+    got = dpm_solver_sample(
+        jax_eps, SCHED, (1, 8, 8, 3), cond=None, rng=jax.random.PRNGKey(0),
+        num_steps=steps, order=order,
+        x_T=jnp.asarray(np.transpose(x_T.numpy(), (0, 2, 3, 1))),
+    )
+    np.testing.assert_allclose(nchw(got), ref.numpy(), atol=3e-4, rtol=1e-3)
+
+
+def test_dpm_solver_order3_low_steps_works(rng):
+    """steps<15 with order 3 (the case that crashes the reference) runs and
+    denoises under our implementation."""
+    x0_true = jnp.zeros(SHAPE)
+
+    def eps(x, t, c):
+        tt = t.astype(jnp.int32)
+        a = jnp.asarray(SCHED.sqrt_alphas_cumprod)[tt].reshape(-1, 1, 1, 1)
+        s = jnp.asarray(SCHED.sqrt_one_minus_alphas_cumprod)[tt].reshape(-1, 1, 1, 1)
+        return (x - a * x0_true) / s
+
+    out = dpm_solver_sample(eps, SCHED, SHAPE, None, rng, num_steps=10, order=3)
+    assert np.abs(np.asarray(out)).mean() < 0.1
