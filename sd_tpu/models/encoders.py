@@ -55,24 +55,29 @@ class ClassEmbedder(nn.Module):
 
 
 class _EncoderBlock(nn.Module):
+    """One pre-norm (attn, ff) pair, matching x-transformers' AttentionLayers
+    default block ('a','f') with dim_head=64 (``x_transformer.py:215-367``)."""
+
     dim: int
     heads: int
+    dim_head: int = 64  # x-transformers DEFAULT_DIM_HEAD — NOT dim // heads
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         from sd_tpu.ops.attention import dot_product_attention
 
-        d = self.dim // self.heads
+        d = self.dim_head
+        inner = self.heads * d
         y = LayerNormFp32(name="norm1")(x)
         b, n, _ = y.shape
-        q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_q")(y)
-        k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_k")(y)
-        v = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_v")(y)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(y)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(y)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(y)
         o = dot_product_attention(
             q.reshape(b, n, self.heads, d), k.reshape(b, n, self.heads, d),
             v.reshape(b, n, self.heads, d), scale=d**-0.5,
-        ).reshape(b, n, self.dim)
+        ).reshape(b, n, inner)
         x = x + nn.Dense(self.dim, dtype=self.dtype, name="to_out")(o)
         y = LayerNormFp32(name="norm2")(x)
         h = nn.Dense(self.dim * 4, dtype=self.dtype, name="ff_in")(y)
@@ -220,3 +225,39 @@ class FrozenCLIPEmbedder:
 
     def __call__(self, texts):
         return self.encode(texts)
+
+
+def port_transformer_wrapper(sd, n_layer: int, prefix: str = "") -> dict:
+    """Map a reference x-transformers ``TransformerWrapper`` state_dict
+    (``x_transformer.py:548-640``; layers at ``attn_layers.layers.{2l}`` =
+    attention, ``{2l+1}`` = feedforward, each [norm, block]) onto
+    :class:`TransformerEmbedder`."""
+    from sd_tpu.utils import port
+
+    p = lambda s_: f"{prefix}{s_}" if prefix else s_
+    params = {
+        "token_emb": {"embedding": port.to_numpy(sd[p("token_emb.weight")])},
+        "pos_emb": port.to_numpy(sd[p("pos_emb.emb.weight")]),
+        "norm": {"LayerNorm_0": port.norm(sd, p("norm"))},
+    }
+    for l in range(n_layer):
+        a = p(f"attn_layers.layers.{2 * l}")
+        f = p(f"attn_layers.layers.{2 * l + 1}")
+        params[f"layers_{l}"] = {
+            "norm1": {"LayerNorm_0": port.norm(sd, f"{a}.0")},
+            "to_q": port.dense(sd, f"{a}.1.to_q"),
+            "to_k": port.dense(sd, f"{a}.1.to_k"),
+            "to_v": port.dense(sd, f"{a}.1.to_v"),
+            "to_out": port.dense(sd, f"{a}.1.to_out"),
+            "norm2": {"LayerNorm_0": port.norm(sd, f"{f}.0")},
+            "ff_in": port.dense(sd, f"{f}.1.net.0.0"),
+            "ff_out": port.dense(sd, f"{f}.1.net.2"),
+        }
+    return params
+
+
+def port_bert_embedder(sd, n_layer: int, prefix: str = "transformer.") -> dict:
+    """BERTEmbedder holds the wrapper as ``self.transformer``
+    (``modules.py:88-90``); inside an LDM checkpoint the prefix is
+    ``cond_stage_model.transformer.``."""
+    return {"transformer": port_transformer_wrapper(sd, n_layer, prefix)}

@@ -144,3 +144,57 @@ def test_plot_bboxes():
     assert img.shape == (64, 64, 3)
     assert img.min() >= -1.0 and img.max() <= 1.0
     assert img.std() > 0  # something was drawn
+
+
+def test_transformer_embedder_xtransformer_parity():
+    """Weight-compatible with the vendored x-transformer (the LAION 1.4B
+    txt2img cond stage)."""
+    import torch
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from ldm.modules.x_transformer import Encoder as XEncoder
+    from ldm.modules.x_transformer import TransformerWrapper
+
+    torch.manual_seed(90)
+    ref = TransformerWrapper(
+        num_tokens=50, max_seq_len=16,
+        attn_layers=XEncoder(dim=32, depth=2),
+    ).eval()
+    ids = torch.randint(0, 50, (2, 16))
+    with torch.no_grad():
+        expected = ref(ids, return_embeddings=True)
+
+    from sd_tpu.models.encoders import TransformerEmbedder, port_transformer_wrapper
+
+    model = TransformerEmbedder(n_embed=32, n_layer=2, vocab_size=50,
+                                max_seq_len=16)
+    params = port_transformer_wrapper(ref.state_dict(), n_layer=2)
+    got = model.apply({"params": params}, jnp.asarray(ids.numpy()))
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(),
+                               atol=3e-4, rtol=1e-3)
+
+
+def test_bert_embedder_port_prefix():
+    import torch
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from ldm.modules.x_transformer import Encoder as XEncoder
+    from ldm.modules.x_transformer import TransformerWrapper
+
+    torch.manual_seed(91)
+    wrapper = TransformerWrapper(num_tokens=30, max_seq_len=8,
+                                 attn_layers=XEncoder(dim=32, depth=1)).eval()
+    sd = {f"cond_stage_model.transformer.{k}": v
+          for k, v in wrapper.state_dict().items()}
+
+    from sd_tpu.models.encoders import BERTEmbedder, port_bert_embedder
+
+    model = BERTEmbedder(n_embed=32, n_layer=1, vocab_size=30, max_seq_len=8)
+    params = port_bert_embedder(sd, n_layer=1,
+                                prefix="cond_stage_model.transformer.")
+    ids = torch.randint(0, 30, (1, 8))
+    with torch.no_grad():
+        expected = wrapper(ids, return_embeddings=True)
+    got = model.apply({"params": params}, jnp.asarray(ids.numpy()))
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(),
+                               atol=3e-4, rtol=1e-3)
