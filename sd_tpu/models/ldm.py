@@ -61,10 +61,45 @@ class LatentDiffusion:
     parameterization: str = "eps"
     # cond_stage_key tells pipelines which batch entry feeds the cond stage
     cond_stage_key: str = "caption"
+    # sliding-window tiling for large canvases (the reference's
+    # split_input_params, ddpm.py:601-651): dict(ks, stride, vqf) or None
+    split_input_params: Optional[Dict[str, Any]] = None
 
     # ------------------------------------------------------------- UNet
 
+    def _tiled(self, fn, x, out_scale: int = 1):
+        """Apply fn over overlapping tiles when split_input_params is set
+        (the fold/unfold path of ddpm.py:902-984 / 715-757 / 825-858)."""
+        from sd_tpu.pipelines.tiled import tiled_apply
+
+        p = self.split_input_params
+        ks = p["ks"][0] if isinstance(p.get("ks"), (tuple, list)) else p.get("ks", 128)
+        stride = (p["stride"][0] if isinstance(p.get("stride"), (tuple, list))
+                  else p.get("stride", 64))
+        return tiled_apply(
+            fn, x, ks=min(ks, x.shape[1]), stride=stride, out_scale=out_scale,
+            clip_min=p.get("clip_min_weight", 0.01),
+            clip_max=p.get("clip_max_weight", 0.5),
+        )
+
     def apply_model(self, x, t, cond) -> jnp.ndarray:
+        if self.split_input_params is not None and self.conditioning_key in (None, "crossattn"):
+            b = x.shape[0]
+
+            def per_tile(patches):
+                # patches are batch-major [B*P, ...]: each element's P tiles
+                # are contiguous -> repeat-interleave t and cond
+                reps = patches.shape[0] // b
+                t_rep = jnp.repeat(t, reps, axis=0)
+                c_rep = jax.tree.map(
+                    lambda c: jnp.repeat(c, reps, axis=0), cond
+                ) if cond is not None else None
+                return self._apply_model_inner(patches, t_rep, c_rep)
+
+            return self._tiled(per_tile, x)
+        return self._apply_model_inner(x, t, cond)
+
+    def _apply_model_inner(self, x, t, cond) -> jnp.ndarray:
         """Conditioning-mode dispatch around the UNet. Ref: ``ddpm.py:1395-1421``.
 
         ``cond`` may be:
@@ -106,10 +141,32 @@ class LatentDiffusion:
     # ----------------------------------------------------- first stage
 
     def encode_first_stage(self, x) -> Any:
-        """Image -> posterior / latent (unscaled). Ref: ``ddpm.py:825-858``."""
+        """Image -> posterior / latent (unscaled). Ref: ``ddpm.py:825-858``
+        (incl. the patch-distributed tiled path when split_input_params has
+        patch_distributed_vq)."""
         m = self.first_stage_model
         if m is None or isinstance(m, IdentityFirstStage):
             return x
+        p = self.split_input_params
+        if p is not None and p.get("patch_distributed_vq"):
+            vqf = p.get("vqf", 4)
+            ks = p["ks"][0] if isinstance(p.get("ks"), (tuple, list)) else p.get("ks", 128)
+
+            def enc_tile(patches):
+                if isinstance(m, VQModel):
+                    return m.apply({"params": self.first_stage_params}, patches,
+                                   method=m.encode_pre_quant)
+                moments_model = m.apply({"params": self.first_stage_params},
+                                        patches, method=m.encode)
+                return jnp.concatenate(
+                    [moments_model.mean, moments_model.logvar], axis=-1)
+
+            out = self._tiled(enc_tile, x, out_scale=1.0 / vqf)
+            if isinstance(m, VQModel):
+                return out
+            from sd_tpu.core.distributions import DiagonalGaussian
+
+            return DiagonalGaussian.from_moments(out)
         if isinstance(m, VQModel):
             return m.apply({"params": self.first_stage_params}, x,
                            method=m.encode_pre_quant)
@@ -135,6 +192,30 @@ class LatentDiffusion:
         m = self.first_stage_model
         if m is None or isinstance(m, IdentityFirstStage):
             return z
+        p = self.split_input_params
+        if p is not None and p.get("patch_distributed_vq"):
+            vqf = p.get("vqf", 4)
+            ks_img = (p["ks"][0] if isinstance(p.get("ks"), (tuple, list))
+                      else p.get("ks", 128))
+
+            def dec_tile(patches):
+                if isinstance(m, VQModel):
+                    return m.apply({"params": self.first_stage_params}, patches,
+                                   not force_not_quantize and True,
+                                   method=m.decode)
+                return m.apply({"params": self.first_stage_params}, patches,
+                               method=m.decode)
+
+            from sd_tpu.pipelines.tiled import tiled_apply
+
+            stride = (p["stride"][0] if isinstance(p.get("stride"), (tuple, list))
+                      else p.get("stride", 64))
+            return tiled_apply(
+                dec_tile, z, ks=min(ks_img // vqf, z.shape[1]),
+                stride=max(stride // vqf, 1), out_scale=vqf,
+                clip_min=p.get("clip_min_weight", 0.01),
+                clip_max=p.get("clip_max_weight", 0.5),
+            )
         if isinstance(m, VQModel):
             return m.apply({"params": self.first_stage_params}, z,
                            not force_not_quantize and True, method=m.decode)
@@ -170,3 +251,24 @@ class LatentDiffusion:
     def eps_model(self) -> Callable:
         """The sampler-facing model fn (x, t, cond) -> eps."""
         return self.apply_model
+
+    def with_params(self, unet_params) -> "LatentDiffusion":
+        """Functional ``ema_scope`` (``ddpm.py:171-184``): evaluating with EMA
+        weights is just binding the shadow pytree — no store/copy/restore."""
+        return dataclasses.replace(self, unet_params=unet_params)
+
+    def make_quantize_fn(self) -> Optional[Callable]:
+        """x0-quantization hook for the samplers' ``quantize_x0``
+        (``ddim.py:197-198``): pass pred_x0 through the VQ codebook."""
+        m = self.first_stage_model
+        if not isinstance(m, VQModel):
+            return None
+
+        def quantize(x0):
+            z_q, _, _ = m.apply(
+                {"params": self.first_stage_params}, x0 / self.scale_factor,
+                method=m.quantize_latent,
+            )
+            return z_q * self.scale_factor
+
+        return quantize

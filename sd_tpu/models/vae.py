@@ -314,6 +314,10 @@ class VQModel(nn.Module):
         h = self.encode_pre_quant(x, deterministic=deterministic)
         return self.quantize(h)
 
+    def quantize_latent(self, z):
+        """Quantize a continuous latent (samplers' quantize_denoised hook)."""
+        return self.quantize(z)
+
     def decode(self, z, force_not_quantize: bool = False, deterministic: bool = True):
         if not force_not_quantize:
             z, _, _ = self.quantize(z)

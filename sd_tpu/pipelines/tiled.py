@@ -78,12 +78,12 @@ def fold_patches(patches, out_hw: Tuple[int, int], ks: int, sy, sx,
 
 
 def tiled_apply(fn: Callable, x, ks: int = 128, stride: int = 64,
-                out_scale: int = 1, out_channels: Optional[int] = None,
+                out_scale: float = 1, out_channels: Optional[int] = None,
                 clip_min: float = 0.01, clip_max: float = 0.5):
     """Apply ``fn`` ([N, ks, ks, C] -> [N, ks*s, ks*s, C']) over overlapping
-    tiles of ``x`` and stitch. ``out_scale`` covers encode (1/f via fn
-    producing smaller tiles is NOT supported — pass the latent-space ks) vs
-    decode (s = upsampling factor).
+    tiles of ``x`` and stitch. ``out_scale`` > 1 for decoders (upsampling),
+    < 1 for encoders (e.g. 1/vqf — ks and stride must then be multiples of
+    1/out_scale so tile geometry stays integral).
     """
     b, h, w, c = x.shape
     patches, sy, sx = extract_patches(x, ks, stride)
@@ -91,8 +91,14 @@ def tiled_apply(fn: Callable, x, ks: int = 128, stride: int = 64,
     flat = patches.reshape((b * p,) + patches.shape[2:])
     out_flat = fn(flat)
     oks = ks * out_scale
-    out_p = out_flat.reshape(b, p, oks, oks, -1)
+    oh, ow = h * out_scale, w * out_scale
+    osy, osx = sy * out_scale, sx * out_scale
+    for v in (oks, oh, ow):
+        assert float(v).is_integer(), (ks, stride, out_scale)
+    out_p = out_flat.reshape(b, p, int(oks), int(oks), -1)
     return fold_patches(
-        out_p, (h * out_scale, w * out_scale), oks,
-        sy * out_scale, sx * out_scale, clip_min, clip_max,
+        out_p, (int(oh), int(ow)), int(oks),
+        osy.astype(int) if hasattr(osy, "astype") else int(osy),
+        osx.astype(int) if hasattr(osx, "astype") else int(osx),
+        clip_min, clip_max,
     )

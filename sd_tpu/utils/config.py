@@ -247,6 +247,19 @@ def _register_builtins():
                                     p["lr_max"], p["lr_start"],
                                     p["max_decay_steps"])
 
+    @register_target(
+        "ldm.models.diffusion.ddpm.LatentDiffusion",
+        "ldm.models.diffusion.ddpm.Layout2ImgDiffusion",
+        "sd_tpu.models.ldm.LatentDiffusion",
+    )
+    def _ldm(p, init_params: bool = False, rng=None, state_dict=None):
+        # Layout2ImgDiffusion == LatentDiffusion + bbox conditioning in the
+        # data layer + bbox plots in log_images (ddpm.py:1424-1445)
+        return build_latent_diffusion(
+            {"target": "ldm.models.diffusion.ddpm.LatentDiffusion", "params": p},
+            rng=rng, init_params=init_params, state_dict=state_dict,
+        )
+
     @register_target("torch.nn.Identity")
     def _identity(p):
         return lambda x, *a, **k: x

@@ -133,3 +133,29 @@ def test_tiled_model_consistency_on_smooth_fn():
         np.asarray(tiled_apply(fn, x, ks=8, stride=4)),
         np.asarray(fn(x)), atol=1e-5,
     )
+
+
+def test_ldm_split_input_params_paths(rng):
+    """split_input_params wires tiling into apply_model / encode / decode."""
+    import dataclasses
+
+    from sd_tpu.utils.config import build_latent_diffusion
+    from sd_tpu.utils.testing import tiny_sd_model_config
+
+    ldm = build_latent_diffusion(tiny_sd_model_config(), rng=jax.random.PRNGKey(40))
+    tiled = dataclasses.replace(
+        ldm, split_input_params={"ks": 8, "stride": 4, "vqf": 2,
+                                 "patch_distributed_vq": True},
+    )
+    x = jax.random.normal(rng, (1, 32, 32, 4))
+    t = jnp.array([5.0])
+    ctx = jax.random.normal(jax.random.fold_in(rng, 1), (1, 8, 24))
+    out_tiled = tiled.apply_model(x, t, ctx)
+    assert out_tiled.shape == x.shape
+
+    # tiled encode/decode roundtrip shapes (f2 tiny stage)
+    img = jax.random.normal(jax.random.fold_in(rng, 2), (1, 32, 32, 3))
+    post = tiled.encode_first_stage(img)
+    assert post.mean.shape == (1, 16, 16, 4)
+    rec = tiled.decode_first_stage(post.mean * tiled.scale_factor)
+    assert rec.shape == (1, 32, 32, 3)

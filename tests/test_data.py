@@ -164,3 +164,21 @@ def test_psnr_ssim_sanity():
     p = psnr(a, noisy)
     assert 20 < p < 40
     assert 0.3 < ssim(a, noisy) < 1.0
+
+
+def test_parallel_data_prefetch_threads():
+    from sd_tpu.utils.prefetch import parallel_data_prefetch
+
+    data = np.arange(100, dtype=np.float32)
+    out = parallel_data_prefetch(lambda x: x * 2, data, n_proc=4,
+                                 cpu_intensive=False)
+    np.testing.assert_array_equal(out, data * 2)
+
+
+def test_parallel_data_prefetch_list():
+    from sd_tpu.utils.prefetch import parallel_data_prefetch
+
+    out = parallel_data_prefetch(lambda xs: [x + 1 for x in xs],
+                                 list(range(10)), n_proc=3,
+                                 target_data_type="list", cpu_intensive=False)
+    assert out == list(range(1, 11))

@@ -136,3 +136,33 @@ def test_unconditional_model_builds_and_samples():
                        jax.random.PRNGKey(0), num_steps=3)
     img = ldm.decode_first_stage(z)
     assert img.shape == (1, 32, 32, 3)
+
+
+def test_ldm_quantize_fn_and_with_params(rng):
+    import dataclasses
+
+    from sd_tpu.utils.testing import tiny_sd_model_config
+
+    cfg = tiny_sd_model_config()
+    cfg["params"]["first_stage_config"] = {
+        "target": "ldm.models.autoencoder.VQModelInterface",
+        "params": {
+            "embed_dim": 4, "n_embed": 16,
+            "ddconfig": dict(cfg["params"]["first_stage_config"]["params"]["ddconfig"],
+                             double_z=False),
+        },
+    }
+    ldm = build_latent_diffusion(cfg, rng=jax.random.PRNGKey(11))
+    qfn = ldm.make_quantize_fn()
+    assert qfn is not None
+    z = jax.random.normal(rng, (1, 16, 16, 4))
+    zq = qfn(z)
+    assert zq.shape == z.shape
+    # straight-through identity gradient
+    g = jax.grad(lambda z: jnp.sum(qfn(z)))(z)
+    np.testing.assert_allclose(np.asarray(g), 1.0, atol=1e-5)
+
+    # with_params swaps the UNet weights functionally (ema_scope analog)
+    zeros = jax.tree.map(jnp.zeros_like, ldm.unet_params)
+    ldm2 = ldm.with_params(zeros)
+    assert ldm2.unet_params is zeros and ldm.unet_params is not zeros
