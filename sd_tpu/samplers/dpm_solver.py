@@ -243,3 +243,116 @@ def _dpm_multistep_general(
         if step < num_steps:
             ms.append(x0_model(x, step))
     return x
+
+
+def _inverse_lambda(ns: DiscreteNoiseSchedule, lamb: np.ndarray) -> np.ndarray:
+    """Continuous t for a target half-logSNR (``dpm_solver.py:158-174``,
+    discrete branch: interpolate t as a function of log_alpha)."""
+    log_alpha_target = -0.5 * np.logaddexp(0.0, -2.0 * np.asarray(lamb, np.float64))
+    # log_alpha_array is decreasing in t -> flip for np.interp
+    return np.interp(log_alpha_target, ns.log_alpha_array[::-1],
+                     ns.t_array[::-1])
+
+
+def dpm_solver_singlestep_sample(
+    model_fn: EpsModel,
+    schedule: DiffusionSchedule,
+    shape,
+    cond,
+    rng,
+    num_steps: int = 20,
+    order: int = 3,
+    uncond=None,
+    guidance_scale: float = 1.0,
+    x_T: Optional[jnp.ndarray] = None,
+    t_start: Optional[float] = None,
+    t_end: Optional[float] = None,
+):
+    """Singlestep DPM-Solver++ ("DPM-Solver-fast"): combines orders <= order
+    to spend exactly ``num_steps`` model evaluations.
+
+    Ref: ``get_orders_and_timesteps_for_singlestep_solver``
+    (``dpm_solver.py:439-505``) for the order schedule and
+    ``singlestep_dpm_solver_{second,third}_update`` (``:551-750``,
+    predict_x0 + 'dpm_solver' type) for the updates. All intermediate times
+    and coefficients are static host-side values.
+    """
+    assert order in (1, 2, 3)
+    ns = DiscreteNoiseSchedule.from_schedule(schedule)
+    t_T = 1.0 if t_start is None else float(t_start)
+    t_0 = 1.0 / ns.total_N if t_end is None else float(t_end)
+
+    # order schedule (dpm_solver.py:471-490)
+    if order == 3:
+        K = num_steps // 3 + 1
+        if num_steps % 3 == 0:
+            orders = [3] * (K - 2) + [2, 1]
+        elif num_steps % 3 == 1:
+            orders = [3] * (K - 1) + [1]
+        else:
+            orders = [3] * (K - 1) + [2]
+    elif order == 2:
+        K = num_steps // 2 if num_steps % 2 == 0 else num_steps // 2 + 1
+        orders = [2] * K if num_steps % 2 == 0 else [2] * (K - 1) + [1]
+    else:
+        orders = [1] * num_steps
+    grid = np.linspace(t_T, t_0, num_steps + 1)
+    outer = grid[np.cumsum([0] + orders)]
+
+    eps = make_guided_eps(model_fn, cond, uncond, guidance_scale)
+    rng, rng_init = jax.random.split(rng)
+    x = x_T if x_T is not None else jax.random.normal(rng_init, shape)
+    b = x.shape[0]
+
+    def f32(v):
+        return np.float32(v)
+
+    def model(x, t_cont):
+        t_vec = jnp.full((b,), np.float32(ns.model_time(np.asarray(t_cont))))
+        e = eps(x, t_vec)
+        return (x - f32(ns.sigma(t_cont)) * e) / f32(np.exp(ns.log_alpha(t_cont)))
+
+    for i, o in enumerate(orders):
+        s, t = float(outer[i]), float(outer[i + 1])
+        lam_s, lam_t = ns.lam(s), ns.lam(t)
+        h = lam_t - lam_s
+        sig_s, sig_t = ns.sigma(s), ns.sigma(t)
+        alpha_t = np.exp(ns.log_alpha(t))
+        m_s = model(x, s)
+        if o == 1:
+            x = f32(sig_t / sig_s) * x - f32(alpha_t * np.expm1(-h)) * m_s
+            continue
+        # intermediate time(s) from inner lambda spacing (dpm_solver.py:1116-1120)
+        inner = np.linspace(s, t, o + 1)
+        lam_inner = ns.lam(inner)
+        r1 = float((lam_inner[1] - lam_s) / h)
+        s1 = float(_inverse_lambda(ns, lam_s + r1 * h))
+        sig_s1 = ns.sigma(s1)
+        alpha_s1 = np.exp(ns.log_alpha(s1))
+        x_s1 = (f32(sig_s1 / sig_s) * x
+                - f32(alpha_s1 * np.expm1(-r1 * h)) * m_s)
+        m_s1 = model(x_s1, s1)
+        if o == 2:
+            # singlestep-2, predict_x0 'dpm_solver' (dpm_solver.py:594-599)
+            phi_1 = np.expm1(-h)
+            x = (f32(sig_t / sig_s) * x
+                 - f32(alpha_t * phi_1) * m_s
+                 - f32(0.5 / r1) * f32(alpha_t * phi_1) * (m_s1 - m_s))
+            continue
+        # order 3 (dpm_solver.py:672-700, 'dpm_solver' type)
+        r2 = float((lam_inner[2] - lam_s) / h)
+        s2 = float(_inverse_lambda(ns, lam_s + r2 * h))
+        sig_s2 = ns.sigma(s2)
+        alpha_s2 = np.exp(ns.log_alpha(s2))
+        phi_12 = np.expm1(-r2 * h)
+        phi_22 = np.expm1(-r2 * h) / (r2 * h) + 1.0
+        phi_1 = np.expm1(-h)
+        phi_2 = phi_1 / h + 1.0
+        x_s2 = (f32(sig_s2 / sig_s) * x
+                - f32(alpha_s2 * phi_12) * m_s
+                + f32(r2 / r1) * f32(alpha_s2 * phi_22) * (m_s1 - m_s))
+        m_s2 = model(x_s2, s2)
+        x = (f32(sig_t / sig_s) * x
+             - f32(alpha_t * phi_1) * m_s
+             + f32(1.0 / r2) * f32(alpha_t * phi_2) * (m_s2 - m_s))
+    return x

@@ -355,3 +355,67 @@ def test_dpm_solver_order3_low_steps_works(rng):
 
     out = dpm_solver_sample(eps, SCHED, SHAPE, None, rng, num_steps=10, order=3)
     assert np.abs(np.asarray(out)).mean() < 0.1
+
+
+@pytest.mark.parametrize("order,steps", [(1, 8), (2, 8), (2, 9), (3, 9), (3, 10)])
+def test_dpm_solver_singlestep_parity(order, steps):
+    """The reference's singlestep dispatcher crashes on time_uniform
+    (torch.cumsum without dim, dpm_solver.py:495 — upstream bug), so drive
+    its singlestep_dpm_solver_update functions directly over the same outer
+    grid our sampler builds."""
+    import torch
+
+    from sd_tpu.samplers.dpm_solver import dpm_solver_singlestep_sample
+
+    torch.manual_seed(60 + order)
+    from ldm.models.diffusion.dpm_solver.dpm_solver import (
+        DPM_Solver,
+        NoiseScheduleVP,
+        model_wrapper,
+    )
+
+    fake = TorchFakeLDM()
+    ns = NoiseScheduleVP("discrete", alphas_cumprod=fake.alphas_cumprod)
+    wrapped = model_wrapper(lambda x, t: fake.apply_model(x, t, None), ns,
+                            model_type="noise", guidance_type="uncond")
+    solver = DPM_Solver(wrapped, ns, predict_x0=True, thresholding=False)
+
+    # order schedule (mirrors get_orders_and_timesteps_for_singlestep_solver
+    # with the cumsum fixed)
+    if order == 3:
+        K = steps // 3 + 1
+        orders = ([3] * (K - 2) + [2, 1] if steps % 3 == 0 else
+                  [3] * (K - 1) + [1] if steps % 3 == 1 else [3] * (K - 1) + [2])
+    elif order == 2:
+        orders = ([2] * (steps // 2) if steps % 2 == 0
+                  else [2] * (steps // 2) + [1])
+    else:
+        orders = [1] * steps
+    t_T, t_0 = 1.0, 1.0 / 1000
+    grid = torch.linspace(t_T, t_0, steps + 1)
+    outer = grid[torch.cumsum(torch.tensor([0] + orders), dim=0)]
+
+    x_T = torch.randn(1, 3, 8, 8)
+    x = x_T.clone()
+    with torch.no_grad():
+        for i, o in enumerate(orders):
+            s_in = outer[i].expand(1)
+            t_in = outer[i + 1].expand(1)
+            lam = ns.marginal_lambda(grid)
+            # inner lambda spacing for r1/r2 (dpm_solver.py:1116-1120)
+            inner = torch.linspace(outer[i], outer[i + 1], o + 1)
+            lam_inner = ns.marginal_lambda(inner)
+            h = lam_inner[-1] - lam_inner[0]
+            r1 = None if o <= 1 else float((lam_inner[1] - lam_inner[0]) / h)
+            r2 = None if o <= 2 else float((lam_inner[2] - lam_inner[0]) / h)
+            x = solver.singlestep_dpm_solver_update(x, s_in, t_in, o,
+                                                    solver_type="dpm_solver",
+                                                    r1=r1, r2=r2)
+    ref = x
+
+    got = dpm_solver_singlestep_sample(
+        jax_eps, SCHED, (1, 8, 8, 3), cond=None, rng=jax.random.PRNGKey(0),
+        num_steps=steps, order=order,
+        x_T=jnp.asarray(np.transpose(x_T.numpy(), (0, 2, 3, 1))),
+    )
+    np.testing.assert_allclose(nchw(got), ref.numpy(), atol=5e-4, rtol=1e-3)
