@@ -82,6 +82,12 @@ def main():
         from sd_tpu.utils.port import load_torch_state_dict
 
         state_dict = load_torch_state_dict(opt.ckpt)
+
+    model_target = config["model"]["target"]
+    is_first_stage_training = model_target.split(".")[-1] in (
+        "AutoencoderKL", "VQModel", "VQModelInterface")
+    if is_first_stage_training:
+        return train_first_stage(opt, config, rng)
     ldm = build_latent_diffusion(config["model"], rng=rng,
                                  state_dict=state_dict,
                                  init_params=state_dict is None)
@@ -118,6 +124,63 @@ def main():
     if opt.train:
         harness.fit(state, data, resume=bool(opt.resume))
     print(f"Done. Logs at {logdir}")
+
+
+def train_first_stage(opt, config, rng):
+    """Autoencoder (VAE-GAN) training path — the reference's
+    configs/autoencoder/*.yaml flow (two-optimizer step, SURVEY §3.4)."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from sd_tpu.training.lpips import LPIPS
+    from sd_tpu.training.trainer import (
+        DataModuleFromConfig,
+        Trainer,
+        scale_learning_rate,
+    )
+    from sd_tpu.training.vae_gan import VAEGANTrainer
+    from sd_tpu.utils.config import instantiate_from_config
+
+    p = config["model"]["params"]
+    model = instantiate_from_config(config["model"])
+    if hasattr(model, "ldm"):  # registry may hand back an LDM bundle
+        raise ValueError("expected a first-stage model config")
+
+    loss_cfg = dict(p.get("lossconfig", {}).get("params", {}))
+    data_cfg = dict(config["data"]["params"])
+    data = DataModuleFromConfig(
+        num_shards=jax.process_count(), shard_index=jax.process_index(),
+        **data_cfg,
+    )
+    base_lr = p.get("base_learning_rate",
+                    config["model"].get("base_learning_rate", 4.5e-6))
+    lr = scale_learning_rate(base_lr, data_cfg["batch_size"], jax.device_count())
+
+    # image size from the first train batch contract
+    sample = next(iter(data.train_dataloader()))
+    img_shape = sample["image"].shape
+
+    lpips = LPIPS()
+    x0 = jnp.zeros((1,) + img_shape[1:])
+    lpips_params = lpips.init(jax.random.PRNGKey(0), x0, x0)["params"]
+    known = {"disc_start", "kl_weight", "codebook_weight", "pixelloss_weight",
+             "perceptual_weight", "disc_num_layers", "disc_in_channels",
+             "disc_factor", "disc_weight", "disc_loss", "logvar_init"}
+    trainer_obj = VAEGANTrainer(
+        model=model, lpips=lpips, lpips_params=lpips_params,
+        learning_rate=lr,
+        **{k: v for k, v in loss_cfg.items() if k in known},
+    )
+    state = trainer_obj.init_state(rng, image_shape=img_shape)
+
+    harness = Trainer(trainer_obj=trainer_obj, ldm=None, logdir=opt.logdir,
+                      max_steps=opt.max_steps, seed=opt.seed)
+    harness.dump_config(config)
+    if opt.train:
+        harness.fit(state, data, resume=bool(opt.resume))
+    print(f"Done (first-stage). Logs at {opt.logdir}")
 
 
 if __name__ == "__main__":
