@@ -166,3 +166,55 @@ def test_ldm_quantize_fn_and_with_params(rng):
     zeros = jax.tree.map(jnp.zeros_like, ldm.unet_params)
     ldm2 = ldm.with_params(zeros)
     assert ldm2.unet_params is zeros and ldm.unet_params is not zeros
+
+
+def test_apply_model_hybrid_and_adm_paths(rng):
+    """DiffusionWrapper dispatch: hybrid (concat + crossattn) and adm (class
+    vector) modes (ddpm.py:1405-1419)."""
+    from sd_tpu.models.ldm import LatentDiffusion
+    from sd_tpu.models.unet import UNetConfig, UNetModel
+    from sd_tpu.core.schedules import DiffusionSchedule
+
+    sched = DiffusionSchedule.create(timesteps=100)
+
+    # hybrid: UNet in_channels = 4 latent + 2 concat cond
+    cfg = UNetConfig.from_dict(dict(
+        image_size=8, in_channels=6, out_channels=4, model_channels=32,
+        attention_resolutions=[2], num_res_blocks=1, channel_mult=[1, 2],
+        num_heads=4, use_spatial_transformer=True, transformer_depth=1,
+        context_dim=16, legacy=False))
+    unet = UNetModel(config=cfg)
+    x = jnp.zeros((1, 8, 8, 4))
+    cc = jnp.ones((1, 8, 8, 2))
+    ctx = jnp.ones((1, 5, 16))
+    params = unet.init(rng, jnp.zeros((1, 8, 8, 6)), jnp.zeros((1,)), ctx)["params"]
+    ldm = LatentDiffusion(unet=unet, unet_params=params, schedule=sched,
+                          conditioning_key="hybrid")
+    out = ldm.apply_model(x, jnp.zeros((1,)),
+                          {"c_concat": [cc], "c_crossattn": [ctx]})
+    assert out.shape == (1, 8, 8, 4)
+
+    # adm: class-conditional via label embedding
+    cfg2 = UNetConfig.from_dict(dict(
+        image_size=8, in_channels=4, out_channels=4, model_channels=32,
+        attention_resolutions=[2], num_res_blocks=1, channel_mult=[1, 2],
+        num_heads=4, num_classes=7))
+    unet2 = UNetModel(config=cfg2)
+    y = jnp.array([3])
+    params2 = unet2.init(rng, x, jnp.zeros((1,)), None, y)["params"]
+    # at init every class-info path ends in a zero-init conv (the reference's
+    # zero_module contract) -> un-zero all zeros to observe class sensitivity
+    leaves, treedef = jax.tree.flatten(params2)
+    leaves = [
+        jax.random.normal(jax.random.fold_in(rng, i), l.shape) * 0.02
+        if float(jnp.abs(l).max()) == 0.0 else l
+        for i, l in enumerate(leaves)
+    ]
+    params2 = jax.tree.unflatten(treedef, leaves)
+    ldm2 = LatentDiffusion(unet=unet2, unet_params=params2, schedule=sched,
+                           conditioning_key="adm")
+    out2 = ldm2.apply_model(x, jnp.zeros((1,)), {"y": y})
+    assert out2.shape == (1, 8, 8, 4)
+    # different class -> different output
+    out3 = ldm2.apply_model(x, jnp.zeros((1,)), {"y": jnp.array([5])})
+    assert np.abs(np.asarray(out2) - np.asarray(out3)).max() > 0
