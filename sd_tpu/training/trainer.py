@@ -120,6 +120,29 @@ def log_images(ldm, batch, rng, n_row: int = 4, sample_steps: int = 20,
     return out
 
 
+def log_images_vae(model, params, batch, rng, n_row: int = 4):
+    """First-stage log_images contract (``autoencoder.py:400-415``): inputs,
+    reconstructions, and decoded random latents."""
+    from sd_tpu.models.vae import AutoencoderKL, VQModel
+
+    n = min(n_row, batch["image"].shape[0])
+    x = jnp.asarray(batch["image"][:n])
+    out = {"inputs": np.asarray(x)}
+    if isinstance(model, VQModel):
+        rec, _, _ = model.apply({"params": params}, x)
+        z = model.apply({"params": params}, x, method=model.encode_pre_quant)
+        noise = jax.random.normal(rng, z.shape, z.dtype)
+        out["samples"] = np.asarray(
+            model.apply({"params": params}, noise, method=model.decode))
+    else:
+        rec, posterior = model.apply({"params": params}, x, rng=rng)
+        noise = jax.random.normal(rng, posterior.mean.shape)
+        out["samples"] = np.asarray(
+            model.apply({"params": params}, noise, method=model.decode))
+    out["reconstructions"] = np.asarray(rec)
+    return out
+
+
 class ImageLogger:
     """Periodic image logging. Cadence: every ``every`` steps, plus early
     power-of-2 steps (``main.py:372-381``)."""

@@ -167,3 +167,15 @@ def test_adaptive_weight_is_positive_and_clipped(rng):
     _, log = trainer.generator_step(state, batch, jax.random.PRNGKey(3))
     dw = float(log["d_weight"])
     assert 0.0 <= dw <= 1e4
+
+
+def test_log_images_vae_contract(rng):
+    from sd_tpu.training.trainer import log_images_vae
+
+    model = AutoencoderKL(ddconfig=TINY_DD, embed_dim=4)
+    x = jax.random.normal(rng, (2, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x, rng=rng)["params"]
+    out = log_images_vae(model, params, {"image": np.asarray(x)}, rng)
+    assert set(out) == {"inputs", "reconstructions", "samples"}
+    for v in out.values():
+        assert v.shape == (2, 32, 32, 3)
