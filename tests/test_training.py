@@ -179,3 +179,75 @@ def test_data_parallel_train_step_on_mesh(tiny_trainer):
     # params stay replicated (same value on all devices)
     leaf = jax.tree.leaves(new_state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_conditional_learning_end_to_end():
+    """Cross-attention conditioning learns: train at high noise levels (where
+    the condition is the only signal for eps), then the implied x0 must point
+    toward each caption's class colors. (Slow-ish: ~2 min on the 1-core CPU.)"""
+    import dataclasses
+
+    from sd_tpu.core.schedules import predict_start_from_noise, q_sample
+    from sd_tpu.utils.testing import tiny_sd_model_config
+
+    cfg = tiny_sd_model_config()
+    p = cfg["params"]
+    p.pop("first_stage_config")
+    p["scale_factor"] = 1.0
+    p["channels"] = 3
+    p["image_size"] = 16
+    p["unet_config"]["params"].update(in_channels=3, out_channels=3,
+                                      image_size=16)
+    ldm = build_latent_diffusion(cfg, rng=jax.random.PRNGKey(0))
+
+    def batch(rng, n=16):
+        cls = rng.integers(1, 3, n)
+        imgs = np.full((n, 16, 16, 3), -0.8, np.float32)
+        for i, c in enumerate(cls):
+            imgs[i, :, :, c - 1] = 0.8
+        caps = np.zeros((n, 8), np.int32)
+        caps[:, 0] = cls
+        return jnp.asarray(imgs), jnp.asarray(caps)
+
+    params = {"unet": ldm.unet_params, "cond": ldm.cond_stage_params}
+    tx = optax.adamw(2e-3)
+    opt = tx.init(params)
+
+    def loss_fn(params, x0, caps, key):
+        k1, k2 = jax.random.split(key)
+        cond = ldm.cond_stage_model.apply({"params": params["cond"]}, caps)
+        t = jax.random.randint(k1, (x0.shape[0],), 700, 1000)
+        noise = jax.random.normal(k2, x0.shape)
+        xt = q_sample(ldm.schedule, x0, t, noise)
+        l = dataclasses.replace(ldm, unet_params=params["unet"])
+        return jnp.mean((l.apply_model(xt, t, cond) - noise) ** 2)
+
+    @jax.jit
+    def step(params, opt, x0, caps, key):
+        loss, g = jax.value_and_grad(loss_fn)(params, x0, caps, key)
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt, loss
+
+    nprng = np.random.default_rng(0)
+    for i in range(400):
+        x0, caps = batch(nprng)
+        params, opt, loss = step(params, opt, x0, caps, jax.random.PRNGKey(i))
+    assert float(loss) < 0.05
+
+    l = dataclasses.replace(ldm, unet_params=params["unet"])
+
+    def cond_of(c):
+        caps = np.zeros((4, 8), np.int32)
+        caps[:, 0] = c
+        return ldm.cond_stage_model.apply({"params": params["cond"]},
+                                          jnp.asarray(caps))
+
+    xt = jax.random.normal(jax.random.PRNGKey(123), (4, 16, 16, 3))
+    t = jnp.full((4,), 900)
+    e1 = l.apply_model(xt, t, cond_of(1))
+    e2 = l.apply_model(xt, t, cond_of(2))
+    assert float(jnp.abs(e1 - e2).mean()) > 1e-3  # eps depends on cond
+    x0_1 = np.asarray(predict_start_from_noise(l.schedule, xt, t, e1)).mean((0, 1, 2))
+    x0_2 = np.asarray(predict_start_from_noise(l.schedule, xt, t, e2)).mean((0, 1, 2))
+    assert x0_1[0] > x0_1[1], x0_1   # red caption -> red-leaning x0
+    assert x0_2[1] > x0_2[0], x0_2   # green caption -> green-leaning x0
