@@ -1,27 +1,49 @@
-"""Fused attention Pallas kernel for SD's attention shapes.
+"""Fused attention Pallas kernels for SD's attention shapes.
 
 The hot attention sites (SURVEY.md §2.2 TPU notes) are the UNet's
-self-attention over latent tokens: N = 4096/1024/256 at head_dim 40/80/160
-(512² images, f8 latents). The XLA einsum path materializes the
-``[B, H, N, N]`` fp32 logits in HBM — at N=4096 that is >1 GB of traffic per
-layer per step and dominates the UNet step time.
+self-attention over latent tokens — N = 4096/1024/256 at head_dim 40/80/160
+(512² images, f8 latents) — and the 77-token cross-attention against the CLIP
+context at every transformer block (``ldm/modules/attention.py:180-192`` is
+the reference einsum being replaced). The XLA einsum path materializes the
+``[B, H, Nq, Nk]`` fp32 logits in HBM — at N=4096 that is >1 GB of traffic
+per layer per step and dominates the UNet step time.
 
-This kernel never materializes logits in HBM: for each (batch, head,
-q-block), the FULL K/V rows live in VMEM (N ≤ 4096, d ≤ 160 → ≤ 1.3 MB per
-operand in bf16), one MXU matmul produces the ``[block_q, N]`` scores in
-VMEM, an exact fp32 softmax reduces them, and a second matmul accumulates the
-output. No online-softmax state is needed because the whole row is visible —
-simpler and faster than the tiled flash scheme for these sizes. Inputs stay
-in the framework's token-major ``[B, N, H, D]`` layout; the grid slices the
-head axis directly so no transpose is ever issued.
+Design (full-KV-in-VMEM): for each (batch, head, q-block) the FULL K/V rows
+live in VMEM (N ≤ 4096, d ≤ 512 → ≤ 4 MB per operand in bf16), one MXU matmul
+produces the ``[block_q, N]`` scores in VMEM, an exact fp32 softmax reduces
+them, and a second matmul accumulates the output. No online-softmax state is
+needed because the whole row is visible — simpler and faster than the tiled
+flash scheme at these sizes. The softmax uses ``exp2`` (the logit scale is
+pre-multiplied by log2(e)) — exp2 is the VPU's native transcendental and
+measurably cheaper than exp at N=4096 where the softmax is a large share of
+kernel time.
+
+Two forward kernels share that scheme:
+
+- ``_kernel`` — grid ``(B, H, Nq/bq)``, one head per step. Used for large-N
+  self-attention.
+- ``_kernel_allheads`` — grid ``(B, Nq/bq)``, loops the (few) heads inside
+  the step. Used when the KV side is small (cross-attention's 77 tokens
+  padded to 128, and N=256 self-attention): K/V for every head stay resident
+  across the whole batch row and the per-step DMA is 8× larger, which is what
+  matters for these bandwidth/overhead-bound sites.
+
+Differentiation: ``flash_attention`` carries a ``jax.custom_vjp``. The
+backward pass recomputes the softmax row statistics inside the kernel (the
+full row is visible, so no LSE needs to be saved by the forward — the
+inference path stays residual-free) and accumulates dK/dV across q-blocks in
+VMEM via output revisiting (the q-block grid axis is innermost). Small-KV
+shapes use a plain-XLA einsum backward instead — at Nk ≤ 256 the materialized
+probability matrix is cheap and the einsum is already near bandwidth.
 
 Padded-key masking (``kv_len``) supports cross-attention's 77-token context
-padded to a lane multiple.
+padded to a lane multiple; padding happens inside :func:`flash_attention`.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -34,81 +56,364 @@ __all__ = ["flash_attention", "flash_supported"]
 # largest q-block: [block_q, N] fp32 scores must fit VMEM next to K/V.
 # 512 is the measured optimum at N=4096 on v5e (256: 11.9ms, 512/1024: 10.4ms)
 _BLOCK_Q = 512
-_MAX_KV_VMEM = 4096  # full-KV-in-VMEM design limit
+_BLOCK_Q_BWD = 256  # bwd keeps two [bq, N] fp32 buffers (p and dp) live
+_BLOCK_Q_ALLHEADS = 1024
+_MAX_KV_VMEM = 4096   # full-KV-in-VMEM design limit
+_SMALL_KV = 256       # at/below this KV length use the all-heads kernel
+_LOG2E = math.log2(math.e)
 
 
 def flash_supported(q, k, v, mask=None) -> bool:
-    """Dispatch predicate used by sd_tpu.ops.attention.dot_product_attention."""
+    """Dispatch predicate used by sd_tpu.ops.attention.dot_product_attention.
+
+    True whenever the Pallas kernels handle the shape AND are measured faster
+    than XLA on v5e (re-measure with tools/bench_attn.py before changing).
+    The kernels are differentiable (custom_vjp), so this predicate is safe
+    under ``jax.grad`` — training and inference share one dispatch rule.
+    """
     if mask is not None:
         return False
     if jax.devices()[0].platform != "tpu":
         return False
     b, nq, h, d = q.shape
     nk = k.shape[1]
-    # measured on v5e (B=16 CFG batch): flash wins decisively at N=4096
-    # (10.4ms vs ~21ms XLA; no [N,N] fp32 HBM round-trip) and at N=256
-    # (4.1ms vs 11.7ms — XLA lowers the d=160 einsum badly); N=1024 is a
-    # wash (3.1 vs 3.4) with batch-dependent flips, left to XLA. Cross-attn
-    # (77 keys) stays XLA (2.4ms vs 3.3ms padded-flash).
     if nk > _MAX_KV_VMEM:
         return False
-    if not (nk >= 2048 or nk <= 256):
+    if nq % 128 != 0:
         return False
-    if nk < 128:
-        return False
-    if nq % _min_block_q(nq) != 0 or nk % 128 != 0:
-        return False
+    # measured on v5e (B=16 CFG batch, r2): flash wins at every SD site —
+    # self N=4096 (7.5ms vs 21ms XLA), N=1024 (2.1 vs 3.4), N=256 (0.4 vs
+    # 2.5), cross Nk=77 (0.6/0.3/0.2 vs 2.8/1.3/0.9). Anything the kernels
+    # can express goes to Pallas.
     return True
 
 
-def _min_block_q(nq: int) -> int:
-    return min(_BLOCK_Q, nq) if nq % min(_BLOCK_Q, nq) == 0 else 8
+def _padded_kv(nk: int) -> int:
+    return max(128, -(-nk // 128) * 128)
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
-    q = q_ref[0, 0]  # [bq, d]
-    k = k_ref[0, 0]  # [Nk, d]
-    v = v_ref[0, 0]  # [Nk, d]
+def _block_q(nq: int, cap: int) -> int:
+    bq = min(cap, nq)
+    while nq % bq:
+        bq //= 2
+    return max(bq, 128) if nq % max(bq, 128) == 0 else bq
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * scale
-    nk = k.shape[0]
+
+# ---------------------------------------------------------------------------
+# forward kernels
+# ---------------------------------------------------------------------------
+
+
+def _softmax_rows(s2, kv_len, nk, exp_bf16: bool):
+    """exp2 softmax over the last axis of fp32 ``s2`` (already * log2e).
+
+    ``exp_bf16`` computes the exponentials in bf16 (the PV matmul consumes
+    bf16 anyway) — one fewer full-width VPU pass and no separate cast pass.
+    Used only when the operands are bf16 (production); fp32 operands keep an
+    exact fp32 softmax for test parity.
+    """
     if kv_len < nk:  # padded keys (cross-attention): mask them out
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-        s = jnp.where(col < kv_len, s, jnp.finfo(jnp.float32).min)
+        col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, dimension=1)
+        s2 = jnp.where(col < kv_len, s2, jnp.finfo(jnp.float32).min)
+    m = jnp.max(s2, axis=1, keepdims=True)
+    if exp_bf16:
+        p = jnp.exp2((s2 - m).astype(jnp.bfloat16))
+        l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+    else:
+        p = jnp.exp2(s2 - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+    return p, l
 
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    )
-    o = o / l
+
+def _attend_block(q, k, v, scale, kv_len, exp_bf16, kt: bool):
+    """One q-block against the full K/V row. ``kt`` means k is [D, Nk]
+    (pre-transposed outside so the MXU contraction hits k's sublane dim)."""
+    if q.dtype == jnp.bfloat16:
+        # fold scale*log2e into q before the matmul: saves a full-width
+        # [bq, Nk] fp32 multiply pass (error ~2^-9 relative, below the bf16
+        # matmul's own rounding)
+        q = q * jnp.bfloat16(scale * _LOG2E)
+        post = 1.0
+    else:
+        post = scale * _LOG2E
+    if kt:
+        s2 = jax.lax.dot_general(
+            q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        nk = k.shape[1]
+    else:
+        s2 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        nk = k.shape[0]
+    if post != 1.0:
+        s2 = s2 * post
+    p, l = _softmax_rows(s2, kv_len, nk, exp_bf16)
+    o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return o / l
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
+            exp_bf16: bool, kt: bool):
+    o = _attend_block(q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
+                      scale, kv_len, exp_bf16, kt)
     o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _kernel_allheads(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                     kv_len: int, heads: int, exp_bf16: bool, kt: bool):
+    for i in range(heads):
+        o = _attend_block(q_ref[0, i], k_ref[0, i], v_ref[0, i],
+                          scale, kv_len, exp_bf16, kt)
+        o_ref[0, i] = o.astype(o_ref.dtype)
+
+
+def _fwd_bhnd(qt, kt, vt, scale: float, kv_len: int,
+              interpret: bool = False, block_q: Optional[int] = None,
+              exp_bf16: Optional[bool] = None, kt_layout: bool = True):
+    """Forward on [B, H, N, D]-layout operands (kt/vt already lane-padded).
+
+    ``kt_layout=True`` feeds K pre-transposed as [B, H, D, Nk] so the QK^T
+    contraction hits K's sublane axis directly (no in-VMEM transpose).
+    ``exp_bf16=None`` resolves to True for bf16 operands.
+    """
+    b, h, nq, d = qt.shape
+    nk = kt.shape[2]
+    if exp_bf16 is None:
+        exp_bf16 = qt.dtype == jnp.bfloat16
+    if kt_layout:
+        kt = jnp.swapaxes(kt, 2, 3)  # [B, H, D, Nk]
+    cost = pl.CostEstimate(
+        flops=4 * b * h * nq * kv_len * d,
+        bytes_accessed=(qt.size * 2 + kt.size + vt.size) * qt.dtype.itemsize,
+        transcendentals=b * h * nq * kv_len,
+    )
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    kshape = (lambda bh: (1, bh, d, nk)) if kt_layout else (lambda bh: (1, bh, nk, d))
+    if nk <= _SMALL_KV:
+        bq = _block_q(nq, block_q or _BLOCK_Q_ALLHEADS)
+        kernel = functools.partial(
+            _kernel_allheads, scale=float(scale), kv_len=kv_len, heads=h,
+            exp_bf16=exp_bf16, kt=kt_layout,
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(qt.shape, qt.dtype),
+            grid_spec=pl.GridSpec(
+                grid=(b, nq // bq),
+                in_specs=[
+                    pl.BlockSpec((1, h, bq, d), lambda bi, qi: (bi, 0, qi, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(kshape(h), lambda bi, qi: (bi, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, h, nk, d), lambda bi, qi: (bi, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, h, bq, d), lambda bi, qi: (bi, 0, qi, 0),
+                    memory_space=pltpu.VMEM),
+            ),
+            compiler_params=params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qt, kt, vt)
+
+    bq = _block_q(nq, block_q or _BLOCK_Q)
+    kernel = functools.partial(_kernel, scale=float(scale), kv_len=kv_len,
+                               exp_bf16=exp_bf16, kt=kt_layout)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(qt.shape, qt.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(b, h, nq // bq),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(kshape(1), lambda bi, hi, qi: (bi, hi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, nk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                memory_space=pltpu.VMEM),
+        ),
+        compiler_params=params,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(qt, kt, vt)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, scale: float, kv_len: int):
+    """Per-(b, h, q-block) backward; dK/dV accumulate across the (innermost)
+    q-block grid axis via output revisiting.
+
+    Softmax row stats are recomputed from the full row in VMEM — no LSE
+    residual. Gradient identities (non-causal):
+      p     = softmax(s * scale)         (recomputed, fp32)
+      dV    = pᵀ · dO
+      dP    = dO · Vᵀ
+      δ     = rowsum(dO ∘ O)
+      dS    = p ∘ (dP − δ) * scale       (the exp2/log2e factors cancel)
+      dQ    = dS · K,   dK = dSᵀ · Q
+    """
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    q = q_ref[0, 0]    # [bq, d]
+    k = k_ref[0, 0]    # [Nk, d]
+    v = v_ref[0, 0]
+    o = o_ref[0, 0]
+    do = do_ref[0, 0]
+    nk = k.shape[0]
+
+    s2 = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (scale * _LOG2E)
+    p, l = _softmax_rows(s2, kv_len, nk, exp_bf16=False)
+    p = p / l  # normalized probabilities, fp32
+    p_lo = p.astype(v.dtype)
+
+    # dV += pᵀ dO   (contract over the q-block axis)
+    dv_ref[0, 0] += jax.lax.dot_general(
+        p_lo, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dP = dO Vᵀ
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=1, keepdims=True)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    dq_ref[0, 0] = jax.lax.dot(
+        ds, k, preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    dk_ref[0, 0] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _bwd_bhnd_pallas(qt, kt, vt, ot, dot_, scale: float, kv_len: int,
+                     interpret: bool = False):
+    b, h, nq, d = qt.shape
+    nk = kt.shape[2]
+    bq = _block_q(nq, _BLOCK_Q_BWD)
+    kernel = functools.partial(_bwd_kernel, scale=float(scale), kv_len=kv_len)
+    qspec = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, 1, nk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(qt.shape, qt.dtype),
+            jax.ShapeDtypeStruct(kt.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vt.shape, jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(b, h, nq // bq),
+            in_specs=[qspec, kvspec, kvspec, qspec, qspec],
+            out_specs=(qspec, kvspec, kvspec),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * b * h * nq * kv_len * d,
+            bytes_accessed=(qt.size * 3 + kt.size * 3 + vt.size * 3)
+            * qt.dtype.itemsize,
+            transcendentals=b * h * nq * kv_len,
+        ),
+        interpret=interpret,
+    )(qt, kt, vt, ot, dot_)
+    return dq, dk.astype(kt.dtype), dv.astype(vt.dtype)
+
+
+def _bwd_bhnd_xla(qt, kt, vt, ot, dot_, scale: float, kv_len: int):
+    """Einsum backward for small-KV shapes ([B, H, N, D] layout)."""
+    nk = kt.shape[2]
+    s = jnp.einsum("bhqd,bhkd->bhqk", qt, kt,
+                   preferred_element_type=jnp.float32) * scale
+    if kv_len < nk:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=3)
+        s = jnp.where(col < kv_len, s, jnp.finfo(jnp.float32).min)
+    p = jax.nn.softmax(s, axis=-1)
+    p_lo = p.astype(vt.dtype)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p_lo, dot_)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", dot_, vt,
+                    preferred_element_type=jnp.float32)
+    delta = jnp.sum(dot_.astype(jnp.float32) * ot.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    ds = (p * (dp - delta) * scale).astype(qt.dtype)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kt)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qt)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_bhnd(qt, kt, vt, scale: float, kv_len: int,
+                interpret: bool = False, block_q: Optional[int] = None,
+                exp_bf16: Optional[bool] = None, kt_layout: bool = True):
+    return _fwd_bhnd(qt, kt, vt, scale, kv_len, interpret, block_q,
+                     exp_bf16, kt_layout)
+
+
+def _flash_bhnd_fwd(qt, kt, vt, scale: float, kv_len: int,
+                    interpret: bool = False, block_q: Optional[int] = None,
+                    exp_bf16: Optional[bool] = None, kt_layout: bool = True):
+    ot = _fwd_bhnd(qt, kt, vt, scale, kv_len, interpret, block_q,
+                   exp_bf16, kt_layout)
+    return ot, (qt, kt, vt, ot)
+
+
+def _flash_bhnd_bwd(scale: float, kv_len: int, interpret: bool,
+                    block_q: Optional[int], exp_bf16: Optional[bool],
+                    kt_layout: bool, res, g):
+    qt, kt, vt, ot = res
+    nq, nk = qt.shape[2], kt.shape[2]
+    if nk <= _SMALL_KV or nq % _BLOCK_Q_BWD != 0:
+        return _bwd_bhnd_xla(qt, kt, vt, ot, g, scale, kv_len)
+    return _bwd_bhnd_pallas(qt, kt, vt, ot, g, scale, kv_len, interpret)
+
+
+_flash_bhnd.defvjp(_flash_bhnd_fwd, _flash_bhnd_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
 
 
 def flash_attention(
     q, k, v, scale: Optional[float] = None, mask=None, *,
-    block_q: Optional[int] = None, interpret: bool = False,
+    interpret: bool = False, block_q: Optional[int] = None,
+    exp_bf16: Optional[bool] = None, kt_layout: bool = True,
 ):
-    """Fused attention on ``[B, N, H, D]`` tensors.
+    """Fused attention on ``[B, N, H, D]`` tensors (differentiable).
 
-    ``k``/``v`` may be zero-padded along tokens; pass the true length via a
-    right-aligned implicit convention: any padding must be at the END and the
-    caller communicates it by padding — here we infer nothing and attend to
-    all Nk rows unless the caller pre-padded and sliced. (The cross-attention
-    wrapper in ``sd_tpu.ops.attention`` pads K/V to a lane multiple and
-    passes ``kv_len`` via closure when needed.)
+    ``k``/``v`` with a token count that is not a lane multiple (e.g. the
+    77-token CLIP context) are zero-padded here and masked inside the kernel.
+    ``interpret=True`` runs the kernels in the Pallas interpreter (CPU tests).
     """
     assert mask is None, "use the XLA path for masked attention"
     b, nq, h, d = q.shape
     nk = k.shape[1]
     if scale is None:
         scale = d**-0.5
-    bq = block_q or _min_block_q(nq)
-    assert nq % bq == 0, (nq, bq)
+    nk_pad = _padded_kv(nk)
+    if nk_pad != nk:
+        pad = [(0, 0), (0, nk_pad - nk), (0, 0), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
 
     # Mosaic blocks want (sublane, lane) = (tokens, head_dim) as the last two
     # dims -> kernel layout is [B, H, N, D]. The transposes are a few MB of
@@ -116,41 +421,6 @@ def flash_attention(
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
-
-    grid = (b, h, nq // bq)
-    kernel = functools.partial(_kernel, scale=float(scale), kv_len=nk)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
-        grid_spec=pl.GridSpec(
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, nk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, nk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * nq * nk * d,
-            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
-            transcendentals=b * h * nq * nk,
-        ),
-        interpret=interpret,
-    )(qt, kt, vt)
+    out = _flash_bhnd(qt, kt, vt, float(scale), nk, interpret, block_q,
+                      exp_bf16, kt_layout)
     return jnp.transpose(out, (0, 2, 1, 3))

@@ -96,6 +96,25 @@ def build_ddim_tables(
     )
 
 
+def build_original_step_tables(
+    schedule: DiffusionSchedule, eta: float = 0.0
+) -> DDIMTables:
+    """DDIM tables over the FULL 1000-step DDPM grid — the
+    ``use_original_steps=True`` path of ``p_sample_ddim``
+    (``ddim.py:165-181``; sigma table ``ddim_sigmas_for_original_num_steps``
+    from ``ddim.py:52-55``). Timesteps are the raw range (no +1 shift)."""
+    ac = schedule.alphas_cumprod.astype(np.float64)
+    ac_prev = schedule.alphas_cumprod_prev.astype(np.float64)
+    sigmas = eta * np.sqrt((1 - ac_prev) / (1 - ac) * (1 - ac / ac_prev))
+    return DDIMTables(
+        timesteps=np.arange(schedule.num_timesteps),
+        alphas=ac.astype(np.float32),
+        alphas_prev=ac_prev.astype(np.float32),
+        sqrt_one_minus_alphas=schedule.sqrt_one_minus_alphas_cumprod,
+        sigmas=sigmas.astype(np.float32),
+    )
+
+
 def ddim_step_from_eps(x, e_t, a_t, a_prev, sqrt_one_minus_at, sigma_t,
                        noise, temperature: float = 1.0,
                        quantize_x0: Optional[Callable] = None):

@@ -24,6 +24,7 @@ from sd_tpu.samplers.common import (
     DDIMTables,
     EpsModel,
     build_ddim_tables,
+    build_original_step_tables,
     ddim_step_from_eps,
     make_guided_eps,
     mask_blend,
@@ -51,16 +52,23 @@ def ddim_sample(
     timestep_method: str = "uniform",
     log_every_t: int = 0,
     t_start_index: Optional[int] = None,
+    use_original_steps: bool = False,
 ):
     """Run the reverse DDIM loop. Ref: ``ddim.py:113-204``.
 
     Args mirror ``DDIMSampler.sample`` (``ddim.py:56-111``); ``t_start_index``
     truncates the grid (used by ``ddim_decode`` for img2img).
+    ``use_original_steps=True`` runs the FULL DDPM grid with the
+    ``alphas_cumprod`` / ``ddim_sigmas_for_original_num_steps`` tables
+    (``ddim.py:165-181``) — the reference's ``ddim_use_original_steps`` path.
 
     Returns (x_0_sample, intermediates) where intermediates is a dict of
     stacked pred_x0 / x_inter arrays when ``log_every_t`` > 0, else None.
     """
-    tables = build_ddim_tables(schedule, num_steps, eta=eta, method=timestep_method)
+    if use_original_steps:
+        tables = build_original_step_tables(schedule, eta=eta)
+    else:
+        tables = build_ddim_tables(schedule, num_steps, eta=eta, method=timestep_method)
     eps = make_guided_eps(model_fn, cond, uncond, guidance_scale, score_corrector)
 
     total = len(tables.timesteps) if t_start_index is None else int(t_start_index)
@@ -147,15 +155,18 @@ def ddim_decode(
     uncond=None,
     guidance_scale: float = 1.0,
     rng=None,
+    use_original_steps: bool = False,
 ):
     """Partial reverse loop from grid position ``t_start_index`` (img2img
-    denoising half of SDEdit). Ref: ``ddim.py:222-241``."""
+    denoising half of SDEdit). Ref: ``ddim.py:222-241``; with
+    ``use_original_steps`` the grid is the full DDPM range truncated at
+    ``t_start`` exactly as ``ddim.py:226-227``."""
     if rng is None:
         rng = jax.random.PRNGKey(0)  # eta=0 path consumes no randomness
     img, _ = ddim_sample(
         model_fn, schedule, x_latent.shape, cond, rng,
         num_steps=num_steps, eta=0.0, uncond=uncond,
         guidance_scale=guidance_scale, x_T=x_latent,
-        t_start_index=t_start_index,
+        t_start_index=t_start_index, use_original_steps=use_original_steps,
     )
     return img

@@ -26,7 +26,12 @@ import numpy as np
 from sd_tpu.core.schedules import DiffusionSchedule
 from sd_tpu.samplers.common import EpsModel, make_guided_eps
 
-__all__ = ["dpm_solver_sample", "DiscreteNoiseSchedule"]
+__all__ = [
+    "dpm_solver_sample",
+    "dpm_solver_singlestep_sample",
+    "dpm_solver_adaptive_sample",
+    "DiscreteNoiseSchedule",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -242,6 +247,142 @@ def _dpm_multistep_general(
         ms = ms[1:] if len(ms) >= order else ms
         if step < num_steps:
             ms.append(x0_model(x, step))
+    return x
+
+
+def dpm_solver_adaptive_sample(
+    model_fn: EpsModel,
+    schedule: DiffusionSchedule,
+    shape,
+    cond,
+    rng,
+    order: int = 2,
+    uncond=None,
+    guidance_scale: float = 1.0,
+    x_T: Optional[jnp.ndarray] = None,
+    t_start: Optional[float] = None,
+    t_end: Optional[float] = None,
+    h_init: float = 0.05,
+    atol: float = 0.0078,
+    rtol: float = 0.05,
+    theta: float = 0.9,
+    t_err: float = 1e-5,
+    max_nfe: int = 1200,
+):
+    """Adaptive step-size DPM-Solver++ (``method="adaptive"`` of the
+    reference's ``sample``, ``dpm_solver/dpm_solver.py:909-965,1106``).
+
+    Step-size control is data-dependent, so this is a device-side
+    ``lax.while_loop`` whose body runs the paired lower/higher singlestep
+    updates (order 2: solver-1 vs solver-2 sharing the s-eval; order 3:
+    solver-2 vs solver-3 sharing the s and s1 evals) and accepts/rescales
+    exactly as ``dpm_solver_adaptive`` — including the E-norm
+    ``max_b rms((x_hi - x_lo)/delta)`` and the ``theta * h * E^(-1/order)``
+    update clipped at ``lambda_0 - lambda_s``. The noise-schedule
+    interpolations (``marginal_lambda``/``inverse_lambda``) run on device via
+    ``jnp.interp`` over the same host tables the fixed-grid solvers use.
+    ``max_nfe`` bounds the loop (the reference can spin forever; XLA while
+    loops cannot be unbounded in good conscience).
+
+    Only the shipped ``predict_x0=True`` + ``solver_type='dpm_solver'``
+    parameterization is implemented, matching ``sampler.py:79-80``.
+    """
+    assert order in (2, 3)
+    ns = DiscreteNoiseSchedule.from_schedule(schedule)
+    t_T = 1.0 if t_start is None else float(t_start)
+    t_0 = 1.0 / ns.total_N if t_end is None else float(t_end)
+
+    t_arr = jnp.asarray(ns.t_array, jnp.float32)
+    la_arr = jnp.asarray(ns.log_alpha_array, jnp.float32)
+
+    def log_alpha(t):
+        return jnp.interp(t, t_arr, la_arr)
+
+    def sigma(t):
+        return jnp.sqrt(-jnp.expm1(2.0 * log_alpha(t)))
+
+    def lam(t):
+        la = log_alpha(t)
+        return la - 0.5 * jnp.log(-jnp.expm1(2.0 * la))
+
+    def inv_lam(lamb):
+        la_target = -0.5 * jnp.logaddexp(0.0, -2.0 * lamb)
+        return jnp.interp(la_target, la_arr[::-1], t_arr[::-1])
+
+    eps = make_guided_eps(model_fn, cond, uncond, guidance_scale)
+    rng, rng_init = jax.random.split(rng)
+    x = x_T if x_T is not None else jax.random.normal(rng_init, shape)
+    b = x.shape[0]
+
+    def model_x0(x, t_cont):
+        t_vec = jnp.full((b,), (t_cont - 1.0 / ns.total_N) * 1000.0)
+        e = eps(x, t_vec)
+        return (x - sigma(t_cont) * e) / jnp.exp(log_alpha(t_cont))
+
+    def solver1(x, s, t, m_s):
+        return (sigma(t) / sigma(s)) * x - jnp.exp(log_alpha(t)) * jnp.expm1(
+            lam(s) - lam(t)) * m_s
+
+    def solver2(x, s, t, r1, m_s):
+        """Singlestep-2 (predict_x0, 'dpm_solver'); returns (x_t, m_s1)."""
+        h = lam(t) - lam(s)
+        s1 = inv_lam(lam(s) + r1 * h)
+        x_s1 = (sigma(s1) / sigma(s)) * x - jnp.exp(log_alpha(s1)) * jnp.expm1(
+            -r1 * h) * m_s
+        m_s1 = model_x0(x_s1, s1)
+        phi_1 = jnp.expm1(-h)
+        x_t = ((sigma(t) / sigma(s)) * x
+               - jnp.exp(log_alpha(t)) * phi_1 * m_s
+               - (0.5 / r1) * jnp.exp(log_alpha(t)) * phi_1 * (m_s1 - m_s))
+        return x_t, m_s1, s1
+
+    def solver3(x, s, t, r1, r2, m_s, m_s1, s1):
+        """Singlestep-3 reusing m_s, m_s1 (dpm_solver.py:657-712)."""
+        h = lam(t) - lam(s)
+        s2 = inv_lam(lam(s) + r2 * h)
+        phi_12 = jnp.expm1(-r2 * h)
+        phi_22 = jnp.expm1(-r2 * h) / (r2 * h) + 1.0
+        x_s2 = ((sigma(s2) / sigma(s)) * x
+                - jnp.exp(log_alpha(s2)) * phi_12 * m_s
+                + (r2 / r1) * jnp.exp(log_alpha(s2)) * phi_22 * (m_s1 - m_s))
+        m_s2 = model_x0(x_s2, s2)
+        phi_1 = jnp.expm1(-h)
+        phi_2 = phi_1 / h + 1.0
+        return ((sigma(t) / sigma(s)) * x
+                - jnp.exp(log_alpha(t)) * phi_1 * m_s
+                + (1.0 / r2) * jnp.exp(log_alpha(t)) * phi_2 * (m_s2 - m_s))
+
+    lambda_0 = lam(jnp.float32(t_0))
+
+    def cond_fn(carry):
+        x, x_prev, s, h, nfe = carry
+        return jnp.logical_and(jnp.abs(s - t_0) > t_err, nfe < max_nfe)
+
+    def body_fn(carry):
+        x, x_prev, s, h, nfe = carry
+        lam_s = lam(s)
+        t = inv_lam(lam_s + h)
+        m_s = model_x0(x, s)
+        if order == 2:
+            x_lower = solver1(x, s, t, m_s)
+            x_higher, _, _ = solver2(x, s, t, 0.5, m_s)
+        else:
+            x_lower, m_s1, s1 = solver2(x, s, t, 1.0 / 3.0, m_s)
+            x_higher = solver3(x, s, t, 1.0 / 3.0, 2.0 / 3.0, m_s, m_s1, s1)
+        delta = jnp.maximum(
+            atol, rtol * jnp.maximum(jnp.abs(x_lower), jnp.abs(x_prev)))
+        err2 = ((x_higher - x_lower) / delta) ** 2
+        E = jnp.max(jnp.sqrt(jnp.mean(err2.reshape(b, -1), axis=-1)))
+        accept = E <= 1.0
+        x = jnp.where(accept, x_higher, x)
+        s = jnp.where(accept, t, s)
+        x_prev = jnp.where(accept, x_lower, x_prev)
+        lam_s = lam(s)
+        h = jnp.minimum(theta * h * E ** (-1.0 / order), lambda_0 - lam_s)
+        return (x, x_prev, s, h, nfe + order)
+
+    init = (x, x, jnp.float32(t_T), jnp.float32(h_init), jnp.int32(0))
+    x, _, _, _, nfe = jax.lax.while_loop(cond_fn, body_fn, init)
     return x
 
 

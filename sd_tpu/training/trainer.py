@@ -184,6 +184,8 @@ class Trainer:
     monitor: Optional[str] = None
     image_logger: Optional[ImageLogger] = None
     seed: int = 42
+    log_every: int = 50
+    metrics_writer: Optional[Any] = None  # e.g. utils.metrics.MetricsWriter
 
     def __post_init__(self):
         os.makedirs(self.logdir, exist_ok=True)
@@ -217,8 +219,14 @@ class Trainer:
                 print(f"Restored from {path} (step {meta and meta.get('step')})")
 
         step_fn = jax.jit(self.trainer_obj.train_step)
+        # The step counter is tracked on HOST: state.step advances by exactly
+        # one per train_step, so fetching it every iteration (r1 behavior)
+        # paid this environment's ~40-50 ms RPC floor per step and serialized
+        # dispatch. Steps now dispatch asynchronously back-to-back; the only
+        # device sync is one scalar fetch per `log_every` steps (the same
+        # async-chain technique bench.py uses).
         step = int(jax.device_get(state.step))
-        t0 = time.time()
+        t0, t0_step = time.time(), step
         try:
             while step < self.max_steps:
                 for batch in data.train_dataloader():
@@ -226,12 +234,15 @@ class Trainer:
                         break
                     rng, k = jax.random.split(rng)
                     state, aux = step_fn(state, _to_device(batch), k)
-                    step = int(jax.device_get(state.step))
-                    if step % 50 == 0:
+                    step += 1
+                    if step % self.log_every == 0:
                         loss = float(jax.device_get(
                             aux.get("loss", aux.get("total_loss", jnp.nan))))
-                        rate = step / max(time.time() - t0, 1e-9)
+                        rate = (step - t0_step) / max(time.time() - t0, 1e-9)
                         print(f"step {step}: loss={loss:.4f} ({rate:.2f} it/s)")
+                        if self.metrics_writer is not None:
+                            self.metrics_writer.write(
+                                step, {"train/loss": loss, "train/it_per_sec": rate})
                     if self.image_logger is not None and self.ldm is not None:
                         ldm = dataclasses.replace(
                             self.ldm, unet_params=state.params["unet"])
@@ -249,18 +260,31 @@ class Trainer:
         return state
 
     def _validate(self, state, data, rng, step):
+        """Validation over a few batches with current AND EMA params — the
+        reference logs both (``ddpm.py:357-364``: validation_step runs the
+        plain step, then repeats it under ``ema_scope`` with ``_ema`` suffix).
+        """
         loader = data.val_dataloader()
         if loader is None:
             return
-        losses = []
+        ema = getattr(state, "ema", None)
+        losses, losses_ema = [], []
         for i, batch in enumerate(loader):
             if i >= 8:
                 break
             rng, k = jax.random.split(rng)
-            loss, aux = self.trainer_obj.loss_fn(state.params, _to_device(batch), k)
+            dev_batch = _to_device(batch)
+            loss, aux = self.trainer_obj.loss_fn(state.params, dev_batch, k)
             losses.append(float(jax.device_get(loss)))
+            if ema is not None:
+                loss_e, _ = self.trainer_obj.loss_fn(ema.shadow, dev_batch, k)
+                losses_ema.append(float(jax.device_get(loss_e)))
         metrics = {"val/loss_simple": float(np.mean(losses))}
+        if losses_ema:
+            metrics["val/loss_simple_ema"] = float(np.mean(losses_ema))
         print(f"validation @ step {step}: {metrics}")
+        if self.metrics_writer is not None:
+            self.metrics_writer.write(step, metrics)
         self.ckpt.save_monitored(state, step, metrics)
 
 

@@ -141,20 +141,33 @@ class StepTimer:
 
 
 class MetricsWriter:
-    """Append-only JSONL scalar log (one line per step)."""
+    """Append-only JSONL scalar log (one line per step), teed to a
+    TensorBoard event file (the reference's default logger is TensorBoard
+    via TestTube, ``main.py:541-565``)."""
 
-    def __init__(self, logdir: str, filename: str = "metrics.jsonl"):
+    def __init__(self, logdir: str, filename: str = "metrics.jsonl",
+                 tensorboard: bool = True):
         os.makedirs(logdir, exist_ok=True)
         self.path = os.path.join(logdir, filename)
         self._f = open(self.path, "a")
+        self._tb = None
+        if tensorboard:
+            from sd_tpu.utils.tb_events import TensorBoardWriter
+
+            self._tb = TensorBoardWriter(os.path.join(logdir, "tb"))
 
     def write(self, step: int, metrics: Dict[str, Any], split: str = "train"):
         row = {"step": int(step), "split": split, "time": time.time()}
+        scalars = {}
         for k, v in metrics.items():
             if np.ndim(v) == 0:
-                row[k] = float(np.asarray(v))
+                row[k] = scalars[k] = float(np.asarray(v))
         self._f.write(json.dumps(row) + "\n")
         self._f.flush()
+        if self._tb is not None and scalars:
+            self._tb.write(step, scalars)
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()

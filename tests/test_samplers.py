@@ -419,3 +419,83 @@ def test_dpm_solver_singlestep_parity(order, steps):
         x_T=jnp.asarray(np.transpose(x_T.numpy(), (0, 2, 3, 1))),
     )
     np.testing.assert_allclose(nchw(got), ref.numpy(), atol=5e-4, rtol=1e-3)
+
+
+def test_ddim_use_original_steps_parity():
+    """use_original_steps=True runs the FULL DDPM grid with the
+    alphas_cumprod / ddim_sigmas_for_original_num_steps tables
+    (ddim.py:165-181, 52-55)."""
+    torch = torch_manual_seed(57)
+    sampler = make_ref_ddim()
+    sampler.make_schedule(ddim_num_steps=10, ddim_eta=0.0, verbose=False)
+    # Upstream bug: p_sample_ddim reads the sigma table from self.MODEL
+    # (ddim.py:187) but make_schedule registers it on the SAMPLER (ddim.py:54)
+    # — the reference's own use_original_steps=True path crashes. Graft the
+    # buffer where the read expects it to drive the intended behavior.
+    sampler.model.ddim_sigmas_for_original_num_steps = (
+        sampler.ddim_sigmas_for_original_num_steps)
+    x_T = torch.randn(2, 3, 8, 8)
+    with torch.no_grad():
+        ref, _ = sampler.ddim_sampling(
+            None, (2, 3, 8, 8), x_T=x_T.clone(), ddim_use_original_steps=True,
+            log_every_t=10**9,
+        )
+    got, _ = ddim_sample(
+        jax_eps, SCHED, SHAPE, cond=None, rng=jax.random.PRNGKey(0),
+        num_steps=10, eta=0.0, use_original_steps=True,
+        x_T=jnp.asarray(np.transpose(x_T.numpy(), (0, 2, 3, 1))),
+    )
+    np.testing.assert_allclose(nchw(got), ref.numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_ddim_decode_use_original_steps_parity():
+    """img2img decode over the truncated FULL grid (ddim.py:222-241)."""
+    torch = torch_manual_seed(58)
+    sampler = make_ref_ddim()
+    sampler.make_schedule(ddim_num_steps=10, ddim_eta=0.0, verbose=False)
+    sampler.model.ddim_sigmas_for_original_num_steps = (
+        sampler.ddim_sigmas_for_original_num_steps)  # upstream bug, see above
+    x_lat = torch.randn(2, 3, 8, 8)
+    with torch.no_grad():
+        ref = sampler.decode(x_lat.clone(), None, t_start=300,
+                             use_original_steps=True)
+    got = ddim_decode(
+        jax_eps, SCHED, jnp.asarray(np.transpose(x_lat.numpy(), (0, 2, 3, 1))),
+        None, t_start_index=300, num_steps=10, use_original_steps=True,
+    )
+    np.testing.assert_allclose(nchw(got), ref.numpy(), atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_dpm_solver_adaptive_parity(order):
+    """method='adaptive' (dpm_solver.py:909-965): the lax.while_loop solver
+    must track the reference's accept/reject + step-size trajectory."""
+    import torch
+
+    torch.manual_seed(60 + order)
+    from ldm.models.diffusion.dpm_solver.dpm_solver import (
+        DPM_Solver,
+        NoiseScheduleVP,
+        model_wrapper,
+    )
+
+    fake = TorchFakeLDM()
+    ns = NoiseScheduleVP("discrete", alphas_cumprod=fake.alphas_cumprod)
+    wrapped = model_wrapper(
+        lambda x, t: fake.apply_model(x, t, None), ns, model_type="noise",
+        guidance_type="uncond",
+    )
+    solver = DPM_Solver(wrapped, ns, predict_x0=True, thresholding=False)
+    x_T = torch.randn(1, 3, 8, 8)
+    with torch.no_grad():
+        ref = solver.sample(x_T.clone(), method="adaptive", order=order,
+                            atol=0.0078, rtol=0.05)
+
+    from sd_tpu.samplers.dpm_solver import dpm_solver_adaptive_sample
+
+    got = dpm_solver_adaptive_sample(
+        jax_eps, SCHED, (1, 8, 8, 3), cond=None, rng=jax.random.PRNGKey(0),
+        order=order,
+        x_T=jnp.asarray(np.transpose(x_T.numpy(), (0, 2, 3, 1))),
+    )
+    np.testing.assert_allclose(nchw(got), ref.numpy(), atol=2e-3, rtol=1e-2)

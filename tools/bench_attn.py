@@ -1,0 +1,228 @@
+"""Attention/UNet perf microbench for the axon TPU tunnel.
+
+Timing methodology (CLAUDE.md / memory): async-dispatched chains with ONE
+terminal ``float(jnp.sum(x))`` sync — ``block_until_ready`` lies through the
+relay and every synchronous call pays a ~40-50 ms RPC floor.
+
+Modes:
+  python tools/bench_attn.py sites   # raw dot_product_attention at SD sites
+  python tools/bench_attn.py unet    # full CFG UNet step + stub ablations
+
+SD v1 @512px (f8 latents, 64x64) attention sites per CFG step (B = 2*images):
+  self  N=4096  H=8 d=40  (C=320)   x5 layers
+  self  N=1024  H=8 d=80  (C=640)   x5
+  self  N=256   H=8 d=160 (C=1280)  x6
+  cross N=4096 -> 77 ctx, d=40      x5
+  cross N=1024 -> 77,      d=80     x5
+  cross N=256  -> 77,      d=160    x6
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+B = 16  # CFG-doubled batch for 8 images
+
+SITES = [
+    # (name, nq, nk, heads, dim_head, count_per_step)
+    ("self4096_d40", 4096, 4096, 8, 40, 5),
+    ("self1024_d80", 1024, 1024, 8, 80, 5),
+    ("self256_d160", 256, 256, 8, 160, 6),
+    ("cross4096_d40", 4096, 77, 8, 40, 5),
+    ("cross1024_d80", 1024, 77, 8, 80, 5),
+    ("cross256_d160", 256, 77, 8, 160, 6),
+]
+
+
+def sync(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def time_chain(step, x0, iters=30, reps=2):
+    x = step(x0)
+    sync(x)  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x = step(x)
+        sync(x)
+        dt = (time.perf_counter() - t0) / iters
+        best = min(best, dt)
+    return best * 1000.0  # ms
+
+
+def bench_sites(impls):
+    from sd_tpu.ops.attention import dot_product_attention
+
+    key = jax.random.PRNGKey(0)
+    out = {}
+    for name, nq, nk, h, d, cnt in SITES:
+        kq, kk, kv = jax.random.split(key, 3)
+        q0 = jax.random.normal(kq, (B, nq, h, d), jnp.bfloat16)
+        k0 = jax.random.normal(kk, (B, nk, h, d), jnp.bfloat16)
+        v0 = jax.random.normal(kv, (B, nk, h, d), jnp.bfloat16)
+        for impl in impls:
+            @jax.jit
+            def step(q, _impl=impl, _k=k0, _v=v0):
+                o = dot_product_attention(q, _k, _v, impl=_impl)
+                return o  # same shape as q -> chains
+
+            try:
+                ms = time_chain(step, q0)
+            except Exception as e:  # unsupported combos
+                print(f"{name} {impl}: FAIL {type(e).__name__}: {e}", flush=True)
+                continue
+            out[f"{name}/{impl}"] = round(ms, 3)
+            print(f"{name:16s} {impl:8s} {ms:8.3f} ms  (x{cnt} = "
+                  f"{ms * cnt:6.2f} ms/step)", flush=True)
+    print(json.dumps(out))
+
+
+def build_unet():
+    from sd_tpu.models.unet import UNetConfig, UNetModel
+
+    cfg = UNetConfig.from_dict(dict(
+        image_size=64, in_channels=4, out_channels=4, model_channels=320,
+        attention_resolutions=[4, 2, 1], num_res_blocks=2,
+        channel_mult=[1, 2, 4, 4], num_heads=8, use_spatial_transformer=True,
+        transformer_depth=1, context_dim=768, legacy=False,
+    ))
+    unet = UNetModel(config=cfg, dtype=jnp.bfloat16)
+    x0 = jnp.zeros((B, 64, 64, 4), jnp.bfloat16)
+    t0 = jnp.zeros((B,), jnp.float32)
+    c0 = jnp.zeros((B, 77, 768), jnp.bfloat16)
+    shapes = jax.eval_shape(lambda k: unet.init(k, x0, t0, c0), jax.random.PRNGKey(0))
+    params = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+        shapes,
+    )["params"]
+    return unet, params, x0, t0, c0
+
+
+def bench_unet(variants):
+    import sd_tpu.ops.attention as attn_mod
+
+    real = attn_mod.dot_product_attention
+    unet, params, x0, t0, c0 = build_unet()
+
+    def make_patched(kind):
+        def patched(q, k, v, scale=None, mask=None, impl="auto"):
+            is_self = q.shape[1] == k.shape[1]
+            if kind == "stub_all":
+                return q
+            if kind == "stub_self" and is_self:
+                return q
+            if kind == "stub_cross" and not is_self:
+                return q
+            if kind == "xla_all":
+                return real(q, k, v, scale=scale, mask=mask, impl="xla")
+            if kind == "mix":  # measured-best dispatch candidate:
+                # flash at self-1024/256 + cross, XLA at self-4096
+                if is_self and q.shape[1] >= 2048:
+                    return real(q, k, v, scale=scale, mask=mask, impl="xla")
+                return real(q, k, v, scale=scale, mask=mask, impl="flash")
+            if kind == "flash_all":
+                return real(q, k, v, scale=scale, mask=mask, impl="flash")
+            return real(q, k, v, scale=scale, mask=mask, impl=impl)
+        return patched
+
+    import flax.linen as nn
+    from sd_tpu.ops import norms as norms_mod
+
+    real_gn = norms_mod.GroupNorm32.__call__
+    real_ln = norms_mod.LayerNormFp32.__call__
+
+    def gn_bf16(self, x):
+        return nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
+                            dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                            use_fast_variance=True)(x)
+
+    def ln_bf16(self, x):
+        return nn.LayerNorm(epsilon=self.eps, dtype=jnp.bfloat16,
+                            param_dtype=jnp.float32, use_fast_variance=True)(x)
+
+    results = {}
+    for kind in variants:
+        attn_kind = kind
+        if kind == "bf16norm":  # fp32-norm-island cost probe (attn = auto)
+            norms_mod.GroupNorm32.__call__ = gn_bf16
+            norms_mod.LayerNormFp32.__call__ = ln_bf16
+            attn_kind = "auto"
+        attn_mod.dot_product_attention = make_patched(attn_kind)
+
+        @jax.jit
+        def step(x):
+            e = unet.apply({"params": params}, x, t0, c0)
+            return e.astype(jnp.bfloat16)
+
+        try:
+            ms = time_chain(step, x0, iters=15, reps=2)
+        except Exception as e:
+            print(f"unet/{kind}: FAIL {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+            continue
+        finally:
+            attn_mod.dot_product_attention = real
+            norms_mod.GroupNorm32.__call__ = real_gn
+            norms_mod.LayerNormFp32.__call__ = real_ln
+        results[kind] = round(ms, 2)
+        print(f"unet/{kind:12s} {ms:8.2f} ms per CFG step", flush=True)
+    print(json.dumps(results))
+
+
+def bench_sweep():
+    """Kernel-variant sweep at the SD sites: block_q x exp_bf16 x kt_layout."""
+    from sd_tpu.ops.pallas.flash_attention import flash_attention
+
+    key = jax.random.PRNGKey(0)
+    combos = {
+        "self4096_d40": [(512, e, t) for e in (0, 1) for t in (0, 1)]
+                        + [(256, 1, 1), (1024, 1, 1)],
+        "self1024_d80": [(512, 1, 1), (1024, 1, 1), (512, 1, 0), (1024, 0, 1)],
+        "self256_d160": [(256, 1, 1), (256, 1, 0)],
+        "cross4096_d40": [(1024, 1, 1), (2048, 1, 1), (4096, 1, 1), (1024, 1, 0)],
+        "cross1024_d80": [(1024, 1, 1)],
+        "cross256_d160": [(256, 1, 1)],
+    }
+    out = {}
+    for name, nq, nk, h, d, cnt in SITES:
+        kq, kk, kv = jax.random.split(key, 3)
+        q0 = jax.random.normal(kq, (B, nq, h, d), jnp.bfloat16)
+        k0 = jax.random.normal(kk, (B, nk, h, d), jnp.bfloat16)
+        v0 = jax.random.normal(kv, (B, nk, h, d), jnp.bfloat16)
+        for bq, expb, ktl in combos.get(name, []):
+            @jax.jit
+            def step(q, _k=k0, _v=v0, _bq=bq, _e=bool(expb), _t=bool(ktl)):
+                return flash_attention(q, _k, _v, block_q=_bq, exp_bf16=_e,
+                                       kt_layout=_t)
+
+            tag = f"{name}/bq{bq}_exp{expb}_kt{ktl}"
+            try:
+                ms = time_chain(step, q0)
+            except Exception as e:
+                print(f"{tag}: FAIL {type(e).__name__}: {str(e)[:120]}", flush=True)
+                continue
+            out[tag] = round(ms, 3)
+            print(f"{tag:40s} {ms:8.3f} ms (x{cnt} = {ms * cnt:6.2f})", flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "sites"
+    print(f"device: {jax.devices()[0]}", flush=True)
+    if mode == "sites":
+        impls = sys.argv[2].split(",") if len(sys.argv) > 2 else ["xla", "auto"]
+        bench_sites(impls)
+    elif mode == "unet":
+        variants = (sys.argv[2].split(",") if len(sys.argv) > 2 else
+                    ["auto", "xla_all", "stub_all", "stub_self", "stub_cross"])
+        bench_unet(variants)
