@@ -138,6 +138,15 @@ def main():
             "ms_per_unet_step": round(dt / STEPS * 1000.0, 2),
             "device": str(jax.devices()[0]),
             "a100_baseline_images_per_sec": A100_IMAGES_PER_SEC,
+            "methodology": (
+                "timed: noise -> 50 CFG-doubled UNet steps -> kl-f8 decode; "
+                "excludes CLIP encode (<1% amortized) and the PLMS "
+                "bootstrap's extra UNet call (~2%) — python loop of one "
+                "jitted step with async dispatch + one terminal sync "
+                "(identical math/steady-state to the production lax.scan; "
+                "see module docstring for this environment's compile/RPC "
+                "constraints)"
+            ),
         },
     }
     print(json.dumps(result))

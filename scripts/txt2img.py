@@ -41,6 +41,17 @@ def parse_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tiny", action="store_true",
                    help="use the bundled tiny random-weight model")
+    # The reference applies BOTH by default (txt2img.py:69-95,317-343);
+    # these opt-outs match common upstream forks.
+    p.add_argument("--no-watermark", dest="watermark", action="store_false",
+                   help="skip the invisible watermark on saved images")
+    p.add_argument("--no-safety", dest="safety", action="store_false",
+                   help="skip the NSFW safety checker")
+    p.add_argument("--safety_ckpt", type=str,
+                   default=os.environ.get("SD_TPU_SAFETY_CKPT"),
+                   help="HF StableDiffusionSafetyChecker state_dict (.ckpt/.pt)"
+                        " to port; without it the checker runs with"
+                        " unreachable thresholds (flags nothing)")
     return p.parse_args()
 
 
@@ -79,14 +90,53 @@ def main():
         ldm = build_latent_diffusion(cfg["model"], rng=rng,
                                      state_dict=state_dict,
                                      init_params=state_dict is None)
-        tokenizer = HashTokenizer()
         bpe = os.environ.get("SD_TPU_BPE_VOCAB")
         if bpe:
             from sd_tpu.data.tokenizer import CLIPTokenizer
 
             tokenizer = CLIPTokenizer.from_openai_gz(bpe)
+        elif state_dict is not None:
+            # A real checkpoint with the debug HashTokenizer would silently
+            # produce garbage conditioning — refuse instead.
+            raise SystemExit(
+                "Loaded a real checkpoint but no BPE vocab is configured: "
+                "set SD_TPU_BPE_VOCAB to the CLIP merges file "
+                "(bpe_simple_vocab_16e6.txt.gz). The hash tokenizer is only "
+                "valid for random-weight (--tiny/debug) runs."
+            )
+        else:
+            tokenizer = HashTokenizer()
         pipe = Txt2ImgPipeline(ldm=ldm, tokenizer=tokenizer, latent_channels=opt.C,
                                downsample=opt.f)
+
+    # Safety checker + invisible watermark: applied by default on every run,
+    # matching the reference's output contract (txt2img.py:69-95,317-343).
+    checker = None
+    if opt.safety:
+        from sd_tpu.pipelines.safety import SafetyChecker, port_safety_checker
+
+        if opt.safety_ckpt:
+            from sd_tpu.utils.port import load_torch_state_dict
+
+            checker = port_safety_checker(load_torch_state_dict(opt.safety_ckpt))
+        else:
+            print("safety checker: no --safety_ckpt given — running with "
+                  "unreachable thresholds (scores computed, nothing flagged)")
+            checker = SafetyChecker.untrained(jax.random.PRNGKey(0))
+    wm_encode = None
+    if opt.watermark:
+        from sd_tpu.utils.watermark import embed_watermark
+
+        wm_encode = embed_watermark  # payload defaults to "StableDiffusionV1"
+
+    def postprocess(imgs_u8):
+        if checker is not None:
+            imgs_u8, flags = checker(imgs_u8)
+            if flags.any():
+                print(f"safety checker replaced {int(flags.sum())} image(s)")
+        if wm_encode is not None and min(imgs_u8.shape[1:3]) >= 32:
+            imgs_u8 = np.stack([wm_encode(im) for im in imgs_u8])
+        return imgs_u8
 
     sampler = "dpm" if opt.dpm_solver else ("plms" if opt.plms else "ddim")
     if opt.from_file:
@@ -115,6 +165,7 @@ def main():
             steps=opt.ddim_steps, guidance_scale=opt.scale, sampler=sampler,
             eta=opt.ddim_eta, x_T=x_T,
         )
+        imgs = postprocess(np.asarray(imgs))
         all_samples.append(imgs)
         if not opt.skip_save:
             for img in imgs:

@@ -50,6 +50,19 @@ class BBoxTokenizer:
         out[: len(ids)] = ids
         return out
 
+    def crop_encoder(self, bbox: Tuple[float, float, float, float]) -> np.ndarray:
+        """(x_tl, y_tl, w, h) crop -> a length-2 token code.
+
+        The reference calls ``self.bbox_tokenizer._crop_encoder`` from its
+        tiled path (``ddpm.py:953``, "tensors of shape (1, 2)"), but that
+        tokenizer lives in the absent ``ldm.data.openimages`` module — the
+        contract visible at the call site is only "2 tokens per crop". We
+        define it as the quantized top-left corner in the coordinate-bin
+        space (crop size is constant across patches and thus carried by the
+        model's training distribution, not the code)."""
+        x_tl, y_tl, _, _ = bbox
+        return np.array([self._quantize(x_tl), self._quantize(y_tl)], np.int32)
+
     def decode(self, ids: np.ndarray) -> List[Tuple]:
         objs = []
         ids = np.asarray(ids).reshape(-1)

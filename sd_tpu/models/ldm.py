@@ -57,6 +57,9 @@ class LatentDiffusion:
     cond_stage_model: Any = None
     cond_stage_params: Any = None
     conditioning_key: Optional[str] = "crossattn"
+    # Layout2Img: the bbox tokenizer used for per-patch crop re-tokenization
+    # in the tiled path (ddpm.py:929-969)
+    bbox_tokenizer: Any = None
     scale_factor: float = 1.0
     parameterization: str = "eps"
     # cond_stage_key tells pipelines which batch entry feeds the cond stage
@@ -83,21 +86,122 @@ class LatentDiffusion:
         )
 
     def apply_model(self, x, t, cond) -> jnp.ndarray:
-        if self.split_input_params is not None and self.conditioning_key in (None, "crossattn"):
-            b = x.shape[0]
-
-            def per_tile(patches):
-                # patches are batch-major [B*P, ...]: each element's P tiles
-                # are contiguous -> repeat-interleave t and cond
-                reps = patches.shape[0] // b
-                t_rep = jnp.repeat(t, reps, axis=0)
-                c_rep = jax.tree.map(
-                    lambda c: jnp.repeat(c, reps, axis=0), cond
-                ) if cond is not None else None
-                return self._apply_model_inner(patches, t_rep, c_rep)
-
-            return self._tiled(per_tile, x)
+        if self.split_input_params is not None:
+            return self._apply_model_tiled(x, t, cond)
         return self._apply_model_inner(x, t, cond)
+
+    def _apply_model_tiled(self, x, t, cond) -> jnp.ndarray:
+        """Sliding-window UNet application (``ddpm.py:902-984``), covering
+        every conditioning route of the reference's fold/unfold branch — and
+        the hybrid mode its ``assert len(cond) == 1`` excludes:
+
+        - spatial conditioning (``cond_stage_key`` in image/LR_image/
+          segmentation/bbox_img, or any ``c_concat``): the conditioning map
+          is tiled with the SAME patch grid as x and paired patch-wise
+          (``ddpm.py:917-927``);
+        - ``coordinates_bbox``: per-patch crop re-tokenization — the last two
+          conditioning tokens are replaced with the patch's crop code and
+          re-encoded through the cond stage (``ddpm.py:929-969``);
+        - non-spatial context (text): repeated per patch.
+
+        Patches run as ONE batched UNet call on a [B*P, ...] batch
+        (batch-major flattening: element b's patches are contiguous) instead
+        of the reference's python loop over crops.
+        """
+        from sd_tpu.pipelines.tiled import extract_patches, fold_patches
+
+        p = self.split_input_params
+        ks = p["ks"][0] if isinstance(p.get("ks"), (tuple, list)) else p.get("ks", 128)
+        stride = (p["stride"][0] if isinstance(p.get("stride"), (tuple, list))
+                  else p.get("stride", 64))
+        ks = min(ks, x.shape[1])
+        b, h, w, _ = x.shape
+        key = self.conditioning_key
+
+        x_p, sy, sx = extract_patches(x, ks, stride)  # [B, P, ks, ks, C]
+        n_patches = x_p.shape[1]
+        flat = x_p.reshape((b * n_patches,) + x_p.shape[2:])
+        t_rep = jnp.repeat(t, n_patches, axis=0)
+
+        def tile_spatial(c):
+            """Tile a [B, H, W, C] conditioning map with the x patch grid."""
+            c_p, _, _ = extract_patches(c, ks, stride)
+            return c_p.reshape((b * n_patches,) + c_p.shape[2:])
+
+        def repeat_ctx(c):
+            return jnp.repeat(c, n_patches, axis=0)
+
+        cond_dict = cond
+        if cond_dict is not None and not isinstance(cond_dict, dict):
+            cond_dict = {CONDITIONING_KEYS.get(key, "c_crossattn"): cond_dict}
+        cond_dict = dict(cond_dict or {})
+
+        def as_tensor(v):
+            return jnp.concatenate(v, axis=-1) if isinstance(v, (list, tuple)) else v
+
+        cond_flat: Optional[Dict[str, Any]] = None
+        if cond_dict:
+            if self.cond_stage_key == "coordinates_bbox":
+                cond_flat = {"c_crossattn": self._bbox_patch_conditioning(
+                    as_tensor(cond_dict["c_crossattn"]), sy, sx, ks, b)}
+            else:
+                cond_flat = {}
+                for k, v in cond_dict.items():
+                    v = as_tensor(v)
+                    if k == "y":
+                        cond_flat[k] = repeat_ctx(v)
+                    elif k == "c_concat" or (
+                        v.ndim == 4 and v.shape[1:3] == (h, w)
+                        and self.cond_stage_key in (
+                            "image", "LR_image", "segmentation", "bbox_img")
+                    ):
+                        cond_flat[k] = tile_spatial(v)
+                    else:
+                        cond_flat[k] = repeat_ctx(v)
+
+        out_flat = self._apply_model_inner(flat, t_rep, cond_flat)
+        out_p = out_flat.reshape((b, n_patches) + out_flat.shape[1:])
+        return fold_patches(
+            out_p, (h, w), ks, sy, sx,
+            p.get("clip_min_weight", 0.01), p.get("clip_max_weight", 0.5),
+        )
+
+    def _bbox_patch_conditioning(self, ids, sy, sx, ks: int, b: int):
+        """Per-patch bbox crop re-tokenization (``ddpm.py:929-969``).
+
+        ``ids`` are the RAW layout token ids [B, n] (Layout2Img feeds token
+        ids through ``apply_model``; the cond stage embeds them). For each
+        patch, the final two tokens are replaced by the patch's crop code
+        from ``bbox_tokenizer.crop_encoder`` and the sequence re-encoded.
+        The reference computes top-left coordinates from the uniform unfold
+        grid; we use the actual patch offsets (identical when the grid
+        divides evenly, and correct for the right-aligned remainder patch
+        the reference's unfold silently drops)."""
+        assert self.bbox_tokenizer is not None, (
+            "coordinates_bbox tiling requires ldm.bbox_tokenizer")
+        p = self.split_input_params
+        assert "original_image_size" in p, (
+            "BoundingBoxRescaling is missing original_image_size")
+        full_h, full_w = p["original_image_size"]
+        m = self.first_stage_model
+        ch_mult = getattr(m, "ch_mult", None)
+        rescale = 2 ** (len(ch_mult) - 1) if ch_mult else p.get("vqf", 4)
+
+        crops = []
+        for y in np.asarray(sy).reshape(-1):
+            for xx in np.asarray(sx).reshape(-1):
+                bbox = (rescale * xx / full_w, rescale * y / full_h,
+                        rescale * ks / full_w, rescale * ks / full_h)
+                crops.append(self.bbox_tokenizer.crop_encoder(bbox))
+        crops = jnp.asarray(np.stack(crops))                      # [P, 2]
+        n_patches = crops.shape[0]
+
+        cut = ids[:, :-2]                                         # [B, n-2]
+        # batch-major flat layout: element b's patches contiguous
+        cut_rep = jnp.repeat(cut, n_patches, axis=0)              # [B*P, n-2]
+        crops_rep = jnp.tile(crops, (b, 1))                       # [B*P, 2]
+        adapted = jnp.concatenate([cut_rep, crops_rep], axis=1)
+        return self.get_learned_conditioning(adapted)
 
     def _apply_model_inner(self, x, t, cond) -> jnp.ndarray:
         """Conditioning-mode dispatch around the UNet. Ref: ``ddpm.py:1395-1421``.

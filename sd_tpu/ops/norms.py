@@ -16,7 +16,18 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-__all__ = ["GroupNorm32", "LayerNormFp32"]
+__all__ = ["GroupNorm32", "LayerNormFp32", "set_norm_stats_dtype"]
+
+# Normalization statistics dtype. fp32 matches the reference's .float()
+# upcasts and is the parity-validated default. set_norm_stats_dtype(bf16) is
+# an EXPERIMENTAL throughput knob (tools/bench_attn.py measures it) — it
+# trades the fp32 islands for fewer HBM bytes around every norm.
+_STATS_DTYPE = jnp.float32
+
+
+def set_norm_stats_dtype(dtype) -> None:
+    global _STATS_DTYPE
+    _STATS_DTYPE = dtype
 
 
 class GroupNorm32(nn.Module):
@@ -31,12 +42,12 @@ class GroupNorm32(nn.Module):
         out = nn.GroupNorm(
             num_groups=self.num_groups,
             epsilon=self.eps,
-            dtype=jnp.float32,
+            dtype=_STATS_DTYPE,
             param_dtype=jnp.float32,
             # single-pass E[x^2]-E[x]^2 in fp32: 35% faster on v5e, parity
             # preserved at fp32 (validated against torch at 1e-4)
             use_fast_variance=True,
-        )(x.astype(jnp.float32))
+        )(x.astype(_STATS_DTYPE))
         return out.astype(orig_dtype)
 
 
@@ -50,8 +61,8 @@ class LayerNormFp32(nn.Module):
         orig_dtype = x.dtype
         out = nn.LayerNorm(
             epsilon=self.eps,
-            dtype=jnp.float32,
+            dtype=_STATS_DTYPE,
             param_dtype=jnp.float32,
             use_fast_variance=True,
-        )(x.astype(jnp.float32))
+        )(x.astype(_STATS_DTYPE))
         return out.astype(orig_dtype)

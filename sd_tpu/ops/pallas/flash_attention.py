@@ -53,11 +53,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flash_attention", "flash_supported"]
 
-# largest q-block: [block_q, N] fp32 scores must fit VMEM next to K/V.
-# 512 is the measured optimum at N=4096 on v5e (256: 11.9ms, 512/1024: 10.4ms)
+# q-block caps: [block_q, N] fp32 scores must live in VMEM next to K/V.
+# r2 sweep on v5e: bq=512 optimal at N=4096; the WHOLE row (bq=N) wins at
+# N<=1024 (1.67 vs 1.78 ms at N=1024), so the cap only binds for large N.
 _BLOCK_Q = 512
+_BLOCK_Q_WHOLE_ROW_MAX = 1024  # nq <= this: single q-block per (b, h)
 _BLOCK_Q_BWD = 256  # bwd keeps two [bq, N] fp32 buffers (p and dp) live
-_BLOCK_Q_ALLHEADS = 1024
+_BLOCK_Q_ALLHEADS = 2048
 _MAX_KV_VMEM = 4096   # full-KV-in-VMEM design limit
 _SMALL_KV = 256       # at/below this KV length use the all-heads kernel
 _LOG2E = math.log2(math.e)
@@ -66,8 +68,18 @@ _LOG2E = math.log2(math.e)
 def flash_supported(q, k, v, mask=None) -> bool:
     """Dispatch predicate used by sd_tpu.ops.attention.dot_product_attention.
 
-    True whenever the Pallas kernels handle the shape AND are measured faster
-    than XLA on v5e (re-measure with tools/bench_attn.py before changing).
+    True where the Pallas kernels are MEASURED faster than XLA on v5e
+    (tools/bench_attn.py, r2 sweep at B=16 CFG batch — re-measure before
+    changing). XLA:TPU ships its own fused attention and wins the
+    in-context cross-attention (it fuses the 77-key sites into the
+    surrounding projections; standalone cross microbenches mislead); the
+    Pallas kernels win every self-attention site:
+
+      self N=4096 d40:  XLA 8.24 ms vs flash 7.52 (chunked online-softmax)
+      self N=1024 d80:  XLA 2.72 ms vs flash 1.62
+      self N=256  d160: XLA 1.52 ms vs flash 1.20
+      cross (77 keys):  XLA in-context ~0.2/layer  -> XLA
+
     The kernels are differentiable (custom_vjp), so this predicate is safe
     under ``jax.grad`` — training and inference share one dispatch rule.
     """
@@ -77,15 +89,11 @@ def flash_supported(q, k, v, mask=None) -> bool:
         return False
     b, nq, h, d = q.shape
     nk = k.shape[1]
-    if nk > _MAX_KV_VMEM:
-        return False
     if nq % 128 != 0:
         return False
-    # measured on v5e (B=16 CFG batch, r2): flash wins at every SD site —
-    # self N=4096 (7.5ms vs 21ms XLA), N=1024 (2.1 vs 3.4), N=256 (0.4 vs
-    # 2.5), cross Nk=77 (0.6/0.3/0.2 vs 2.8/1.3/0.9). Anything the kernels
-    # can express goes to Pallas.
-    return True
+    if nk != nq:  # cross-attention: XLA fuses it into the projections
+        return False
+    return 128 <= nk <= _MAX_KV_VMEM
 
 
 def _padded_kv(nk: int) -> int:
@@ -160,6 +168,49 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
+def _kernel_chunked(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                    kv_len: int, kt: bool, chunk: int):
+    """Online-softmax variant: the KV row (resident in VMEM) is processed in
+    ``chunk``-sized pieces with running (m, l, acc) state. Statically
+    unrolled so Mosaic can overlap chunk i+1's QK matmul (MXU) with chunk
+    i's softmax (VPU) — the monolithic kernel serializes them.
+    Full rows must be unmasked (kv_len == Nk); dispatch guarantees it.
+    """
+    q = q_ref[0, 0]  # [bq, d]
+    if q.dtype == jnp.bfloat16:
+        q = q * jnp.bfloat16(scale * _LOG2E)
+        post = 1.0
+    else:
+        post = scale * _LOG2E
+    nk = k_ref.shape[3] if kt else k_ref.shape[2]
+    bq, d = q.shape
+    m = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+    for c in range(nk // chunk):
+        if kt:
+            kc = k_ref[0, 0, :, pl.ds(c * chunk, chunk)]  # [d, ck]
+            s = jax.lax.dot_general(
+                q, kc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            kc = k_ref[0, 0, pl.ds(c * chunk, chunk), :]  # [ck, d]
+            s = jax.lax.dot_general(
+                q, kc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        if post != 1.0:
+            s = s * post
+        vc = v_ref[0, 0, pl.ds(c * chunk, chunk), :]
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp2(s - m_new)
+        corr = jnp.exp2(m - m_new)
+        l = l * corr + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * corr + jax.lax.dot(
+            p.astype(vc.dtype), vc, preferred_element_type=jnp.float32)
+        m = m_new
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
 def _kernel_allheads(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                      kv_len: int, heads: int, exp_bf16: bool, kt: bool):
     for i in range(heads):
@@ -170,7 +221,8 @@ def _kernel_allheads(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 
 def _fwd_bhnd(qt, kt, vt, scale: float, kv_len: int,
               interpret: bool = False, block_q: Optional[int] = None,
-              exp_bf16: Optional[bool] = None, kt_layout: bool = True):
+              exp_bf16: Optional[bool] = None, kt_layout: bool = True,
+              kv_chunk: Optional[int] = None):
     """Forward on [B, H, N, D]-layout operands (kt/vt already lane-padded).
 
     ``kt_layout=True`` feeds K pre-transposed as [B, H, D, Nk] so the QK^T
@@ -180,7 +232,9 @@ def _fwd_bhnd(qt, kt, vt, scale: float, kv_len: int,
     b, h, nq, d = qt.shape
     nk = kt.shape[2]
     if exp_bf16 is None:
-        exp_bf16 = qt.dtype == jnp.bfloat16
+        # measured SLOWER on v5e (9.59 vs 8.80 ms at N=4096 — bf16
+        # transcendentals lower with pack/unpack overhead); keep fp32 exp2
+        exp_bf16 = False
     if kt_layout:
         kt = jnp.swapaxes(kt, 2, 3)  # [B, H, D, Nk]
     cost = pl.CostEstimate(
@@ -218,9 +272,23 @@ def _fwd_bhnd(qt, kt, vt, scale: float, kv_len: int,
             interpret=interpret,
         )(qt, kt, vt)
 
-    bq = _block_q(nq, block_q or _BLOCK_Q)
-    kernel = functools.partial(_kernel, scale=float(scale), kv_len=kv_len,
-                               exp_bf16=exp_bf16, kt=kt_layout)
+    if kv_chunk is None and kv_len == nk:
+        # r2 sweep: online-softmax chunking wins once the row is long enough
+        # for MXU/VPU overlap — 7.52 ms vs 8.80 monolithic (and 8.24 XLA) at
+        # N=4096 with (bq=1024, ck=1024); 1.62 vs 1.64 at N=1024 with ck=512
+        if nk >= 2048:
+            kv_chunk = 1024
+        elif nk == 1024:
+            kv_chunk = 512
+    default_bq = nq if nq <= _BLOCK_Q_WHOLE_ROW_MAX else (
+        1024 if kv_chunk else _BLOCK_Q)
+    bq = _block_q(nq, block_q or default_bq)
+    if kv_chunk and kv_len == nk and nk % kv_chunk == 0:
+        kernel = functools.partial(_kernel_chunked, scale=float(scale),
+                                   kv_len=kv_len, kt=kt_layout, chunk=kv_chunk)
+    else:
+        kernel = functools.partial(_kernel, scale=float(scale), kv_len=kv_len,
+                                   exp_bf16=exp_bf16, kt=kt_layout)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(qt.shape, qt.dtype),
@@ -359,25 +427,27 @@ def _bwd_bhnd_xla(qt, kt, vt, ot, dot_, scale: float, kv_len: int):
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _flash_bhnd(qt, kt, vt, scale: float, kv_len: int,
                 interpret: bool = False, block_q: Optional[int] = None,
-                exp_bf16: Optional[bool] = None, kt_layout: bool = True):
+                exp_bf16: Optional[bool] = None, kt_layout: bool = True,
+                kv_chunk: Optional[int] = None):
     return _fwd_bhnd(qt, kt, vt, scale, kv_len, interpret, block_q,
-                     exp_bf16, kt_layout)
+                     exp_bf16, kt_layout, kv_chunk)
 
 
 def _flash_bhnd_fwd(qt, kt, vt, scale: float, kv_len: int,
                     interpret: bool = False, block_q: Optional[int] = None,
-                    exp_bf16: Optional[bool] = None, kt_layout: bool = True):
+                    exp_bf16: Optional[bool] = None, kt_layout: bool = True,
+                    kv_chunk: Optional[int] = None):
     ot = _fwd_bhnd(qt, kt, vt, scale, kv_len, interpret, block_q,
-                   exp_bf16, kt_layout)
+                   exp_bf16, kt_layout, kv_chunk)
     return ot, (qt, kt, vt, ot)
 
 
 def _flash_bhnd_bwd(scale: float, kv_len: int, interpret: bool,
                     block_q: Optional[int], exp_bf16: Optional[bool],
-                    kt_layout: bool, res, g):
+                    kt_layout: bool, kv_chunk: Optional[int], res, g):
     qt, kt, vt, ot = res
     nq, nk = qt.shape[2], kt.shape[2]
     if nk <= _SMALL_KV or nq % _BLOCK_Q_BWD != 0:
@@ -397,6 +467,7 @@ def flash_attention(
     q, k, v, scale: Optional[float] = None, mask=None, *,
     interpret: bool = False, block_q: Optional[int] = None,
     exp_bf16: Optional[bool] = None, kt_layout: bool = True,
+    kv_chunk: Optional[int] = None,
 ):
     """Fused attention on ``[B, N, H, D]`` tensors (differentiable).
 
@@ -422,5 +493,5 @@ def flash_attention(
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
     out = _flash_bhnd(qt, kt, vt, float(scale), nk, interpret, block_q,
-                      exp_bf16, kt_layout)
+                      exp_bf16, kt_layout, kv_chunk)
     return jnp.transpose(out, (0, 2, 1, 3))

@@ -26,6 +26,8 @@ __all__ = [
     "replicated",
     "shard_batch",
     "shard_params",
+    "zero_sharding",
+    "zero_state_sharding",
     "is_main_process",
 ]
 
@@ -70,6 +72,46 @@ def shard_params(mesh: Mesh, params):
     """Replicate parameters across the mesh (DP). TP layouts override this
     with per-leaf PartitionSpecs."""
     return jax.device_put(params, replicated(mesh))
+
+
+def zero_sharding(mesh: Mesh, tree, axis: str = "data"):
+    """ZeRO-1 placement for a params-shaped pytree (SURVEY.md §2.10): shard
+    each leaf's largest divisible dimension over the data axis, replicate
+    leaves too small to split. Returns a NamedSharding pytree usable with
+    ``jax.device_put`` / jit shardings.
+
+    With params replicated and AdamW moments sharded this way, GSPMD compiles
+    the optimizer update per-shard and all-gathers the parameter delta — the
+    standard ZeRO-1 communication pattern, expressed purely as shardings.
+    """
+    n = mesh.shape[axis]
+
+    def spec(leaf):
+        shape = np.shape(leaf)
+        for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+            if shape[i] % n == 0 and shape[i] >= n:
+                return NamedSharding(
+                    mesh, P(*[axis if j == i else None for j in range(len(shape))])
+                )
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, tree)
+
+
+def zero_state_sharding(mesh: Mesh, state, axis: str = "data"):
+    """Sharding tree for a TrainState NamedTuple: params and step replicated
+    (DP), optimizer moments and the EMA shadow ZeRO-sharded over ``axis``."""
+    repl = replicated(mesh)
+    full = jax.tree.map(lambda _: repl, state)
+    parts = {"opt_state": zero_sharding(mesh, state.opt_state, axis)}
+    ema = getattr(state, "ema", None)
+    if ema is not None:
+        parts["ema"] = type(ema)(
+            shadow=zero_sharding(mesh, ema.shadow, axis),
+            num_updates=repl,
+            decay=jax.tree.map(lambda _: repl, ema.decay),
+        )
+    return full._replace(**parts)
 
 
 def is_main_process() -> bool:

@@ -84,6 +84,20 @@ class SafetyChecker:
             config=config,
         )
 
+    @classmethod
+    def untrained(cls, rng, config: Optional[CLIPVisionConfig] = None
+                  ) -> "SafetyChecker":
+        """Checker with unreachable thresholds (cosine <= 1 < 2): the full
+        scoring path runs but nothing is ever flagged. Used by the txt2img
+        CLI when no ported HF checker weights are available (zero-egress
+        environments) so the reference's always-apply contract
+        (``txt2img.py:88-95``) is preserved mechanically without randomly
+        censoring outputs on garbage concept embeddings."""
+        c = cls.random_init(rng, config)
+        c.concept_thresholds = jnp.full((17,), 2.0)
+        c.special_care_thresholds = jnp.full((3,), 2.0)
+        return c
+
     def nsfw_scores(self, images_01) -> jnp.ndarray:
         """[B,H,W,3] in [0,1] -> boolean NSFW flags [B]."""
         x = clip_image_preprocess(images_01 * 2.0 - 1.0)

@@ -150,11 +150,20 @@ class VAEGANTrainer:
         nll = jnp.sum(nll) / x.shape[0]
         return nll, rec_loss
 
-    def _disc_logits(self, disc_params, disc_stats, images, train=False):
-        return self.discriminator.apply(
-            {"params": disc_params, "batch_stats": disc_stats}, images,
-            train=False,
-        )
+    def _disc_logits(self, disc_params, disc_stats, images, train=True):
+        """Discriminator logits. The generator loss evaluates the
+        discriminator in TRAIN mode (batch statistics) exactly as the
+        reference does — under Lightning the whole module is in train mode
+        during ``training_step`` (``contperceptual.py:71-74``). The batch-stat
+        mutation is discarded here; running stats only advance in the
+        discriminator's own step."""
+        variables = {"params": disc_params, "batch_stats": disc_stats}
+        if train:
+            logits, _ = self.discriminator.apply(
+                variables, images, train=True, mutable=["batch_stats"]
+            )
+            return logits
+        return self.discriminator.apply(variables, images, train=False)
 
     @staticmethod
     def _last_layer_path(ae_params):

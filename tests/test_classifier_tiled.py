@@ -159,3 +159,132 @@ def test_ldm_split_input_params_paths(rng):
     assert post.mean.shape == (1, 16, 16, 4)
     rec = tiled.decode_first_stage(post.mean * tiled.scale_factor)
     assert rec.shape == (1, 32, 32, 3)
+
+
+def _tiny_unet(in_channels, rng, context_dim=None, model_channels=32):
+    from sd_tpu.models.unet import UNetConfig, UNetModel
+
+    cfg = UNetConfig.from_dict(dict(
+        image_size=16, in_channels=in_channels, out_channels=3,
+        model_channels=model_channels, attention_resolutions=[2],
+        num_res_blocks=1, channel_mult=[1, 2], num_heads=2,
+        use_spatial_transformer=context_dim is not None,
+        transformer_depth=1, context_dim=context_dim, legacy=False,
+    ))
+    unet = UNetModel(config=cfg)
+    x = jnp.zeros((1, 16, 16, in_channels))
+    ctx = jnp.zeros((1, 4, context_dim)) if context_dim else None
+    params = unet.init(rng, x[..., :in_channels], jnp.zeros((1,)), ctx)["params"]
+    return unet, params
+
+
+def test_tiled_apply_model_concat(rng):
+    """Concat conditioning is tiled with the SAME patch grid as x
+    (ddpm.py:917-927: spatial conditioning unfolds alongside the latent) —
+    the route the r1 build gated out."""
+    from sd_tpu.core.schedules import DiffusionSchedule
+    from sd_tpu.models.ldm import LatentDiffusion
+
+    unet, params = _tiny_unet(3 + 2, rng)
+    sched = DiffusionSchedule.create(20, "linear", 0.0015, 0.0195)
+    x = jax.random.normal(rng, (2, 16, 16, 3))
+    c = jax.random.normal(jax.random.fold_in(rng, 1), (2, 16, 16, 2))
+    t = jnp.zeros((2,))
+
+    base = LatentDiffusion(unet=unet, unet_params=params, schedule=sched,
+                           conditioning_key="concat", cond_stage_key="segmentation")
+    untiled = base.apply_model(x, t, {"c_concat": [c]})
+
+    import dataclasses
+    tiled = dataclasses.replace(
+        base, split_input_params={"ks": 8, "stride": 4})
+    out = tiled.apply_model(x, t, {"c_concat": [c]})
+    assert out.shape == untiled.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # degenerate grid (one patch covering the canvas) == untiled exactly
+    one_patch = dataclasses.replace(
+        base, split_input_params={"ks": 16, "stride": 16})
+    np.testing.assert_allclose(
+        np.asarray(one_patch.apply_model(x, t, {"c_concat": [c]})),
+        np.asarray(untiled), atol=1e-5)
+
+
+def test_tiled_apply_model_hybrid(rng):
+    """Hybrid = spatial c_concat tiled + text context repeated per patch
+    (beyond the reference, whose assert len(cond)==1 excludes hybrid)."""
+    from sd_tpu.core.schedules import DiffusionSchedule
+    from sd_tpu.models.ldm import LatentDiffusion
+
+    unet, params = _tiny_unet(3 + 2, rng, context_dim=16)
+    sched = DiffusionSchedule.create(20, "linear", 0.0015, 0.0195)
+    x = jax.random.normal(rng, (1, 16, 16, 3))
+    c_sp = jax.random.normal(jax.random.fold_in(rng, 1), (1, 16, 16, 2))
+    ctx = jax.random.normal(jax.random.fold_in(rng, 2), (1, 4, 16))
+    t = jnp.zeros((1,))
+
+    import dataclasses
+    base = LatentDiffusion(unet=unet, unet_params=params, schedule=sched,
+                           conditioning_key="hybrid")
+    cond = {"c_concat": [c_sp], "c_crossattn": [ctx]}
+    untiled = base.apply_model(x, t, cond)
+    one_patch = dataclasses.replace(
+        base, split_input_params={"ks": 16, "stride": 16})
+    np.testing.assert_allclose(
+        np.asarray(one_patch.apply_model(x, t, cond)), np.asarray(untiled),
+        atol=1e-5)
+    multi = dataclasses.replace(base, split_input_params={"ks": 8, "stride": 4})
+    out = multi.apply_model(x, t, cond)
+    assert out.shape == (1, 16, 16, 3) and np.isfinite(np.asarray(out)).all()
+
+
+def test_tiled_bbox_patch_retokenization(rng):
+    """Layout2Img tiled path: per-patch crop codes replace the last two
+    layout tokens and are re-encoded (ddpm.py:929-969)."""
+    import dataclasses
+
+    import flax.linen as nn
+
+    from sd_tpu.core.schedules import DiffusionSchedule
+    from sd_tpu.data.layout import BBoxTokenizer
+    from sd_tpu.models.ldm import LatentDiffusion
+
+    tok = BBoxTokenizer(n_classes=4, n_bins=32, max_objects=2)
+
+    class TokEmbedder(nn.Module):
+        @nn.compact
+        def __call__(self, ids):
+            return nn.Embed(tok.vocab_size, 16)(ids)
+
+    emb = TokEmbedder()
+    ids = jnp.asarray(tok([[(1, 0.1, 0.1, 0.5, 0.5)]]))  # [1, 10]
+    emb_params = emb.init(rng, ids)["params"]
+
+    unet, params = _tiny_unet(3, rng, context_dim=16)
+    # un-zero the zero-init projections (the zero_module contract) so the
+    # cross-attention context can influence the output at init
+    leaves, treedef = jax.tree.flatten(params)
+    leaves = [
+        jax.random.normal(jax.random.fold_in(rng, i), l.shape) * 0.02
+        if float(jnp.abs(l).max()) == 0.0 else l
+        for i, l in enumerate(leaves)
+    ]
+    params = jax.tree.unflatten(treedef, leaves)
+    sched = DiffusionSchedule.create(20, "linear", 0.0015, 0.0195)
+    ldm = LatentDiffusion(
+        unet=unet, unet_params=params, schedule=sched,
+        conditioning_key="crossattn", cond_stage_key="coordinates_bbox",
+        cond_stage_model=emb, cond_stage_params=emb_params,
+        bbox_tokenizer=tok,
+        split_input_params={"ks": 8, "stride": 8,
+                            "original_image_size": (64, 64), "vqf": 4},
+    )
+    x = jax.random.normal(rng, (1, 16, 16, 3))
+    out = ldm.apply_model(x, jnp.zeros((1,)), {"c_crossattn": [ids]})
+    assert out.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # crop codes depend on original_image_size -> different size, different out
+    ldm2 = dataclasses.replace(
+        ldm, split_input_params={"ks": 8, "stride": 8,
+                                 "original_image_size": (256, 256), "vqf": 4})
+    out2 = ldm2.apply_model(x, jnp.zeros((1,)), {"c_crossattn": [ids]})
+    assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 0

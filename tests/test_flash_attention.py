@@ -91,3 +91,15 @@ def test_flash_numerical_stability_large_logits():
     out = flash_attention(q, k, v, interpret=True, block_q=128)
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-5)
+
+
+def test_flash_chunked_online_softmax_matches_xla():
+    """kv_chunk engages the online-softmax kernel (running m/l/acc merge)."""
+    rng = np.random.default_rng(3)
+    shape = (1, 512, 2, 64)
+    q = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    k = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    v = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    out = flash_attention(q, k, v, interpret=True, block_q=128, kv_chunk=128)
+    ref = _xla_attention(q, k, v, 64**-0.5, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)

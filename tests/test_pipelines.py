@@ -2,6 +2,7 @@
 seed-fixed snapshots (the reference has no automated equivalent — SURVEY.md
 §4 recommends exactly this pyramid level)."""
 
+import os
 import numpy as np
 import pytest
 
@@ -218,3 +219,31 @@ def test_apply_model_hybrid_and_adm_paths(rng):
     # different class -> different output
     out3 = ldm2.apply_model(x, jnp.zeros((1,)), {"y": jnp.array([5])})
     assert np.abs(np.asarray(out2) - np.asarray(out3)).max() > 0
+
+
+def test_txt2img_cli_applies_safety_and_watermark(tmp_path):
+    """The flagship CLI applies the safety checker and invisible watermark by
+    default (reference contract: scripts/txt2img.py:69-95,317-343)."""
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ, SD_TPU_PLATFORM="cpu")
+    proc = subprocess.run(
+        [_sys.executable, "scripts/txt2img.py", "--tiny", "--steps", "1",
+         "--height", "64", "--width", "64", "--prompt", "wm",
+         "--outdir", str(tmp_path), "--skip_grid"],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "safety checker" in proc.stdout  # applied (untrained thresholds)
+    from PIL import Image
+
+    from sd_tpu.utils.watermark import WATERMARK_PAYLOAD, decode_watermark
+
+    img = np.asarray(Image.open(tmp_path / "samples" / "00000.png"))
+    decoded = decode_watermark(img)
+    # 64x64 has capacity for the first 8 payload bytes (full 136-bit payload
+    # fits at >=128x128; production output is 512x512)
+    assert decoded[:8] == WATERMARK_PAYLOAD[:8]

@@ -179,3 +179,27 @@ def test_log_images_vae_contract(rng):
     assert set(out) == {"inputs", "reconstructions", "samples"}
     for v in out.values():
         assert v.shape == (2, 32, 32, 3)
+
+
+def test_generator_gloss_uses_batch_stats(rng):
+    """The generator's adversarial loss evaluates the discriminator in train
+    mode (batch statistics), matching the reference's Lightning semantics
+    (contperceptual.py:71-74): corrupting the RUNNING stats must not change
+    the generator-step losses."""
+    model = AutoencoderKL(ddconfig=TINY_DD, embed_dim=4)
+    lpips = LPIPS()
+    x0 = jnp.zeros((2, 32, 32, 3))
+    lpips_params = lpips.init(jax.random.PRNGKey(1), x0, x0)["params"]
+    trainer = VAEGANTrainer(model=model, lpips=lpips, lpips_params=lpips_params,
+                            disc_start=0, learning_rate=1e-4)
+    state = trainer.init_state(jax.random.PRNGKey(2), image_shape=(2, 32, 32, 3))
+    batch = {"image": jax.random.normal(rng, (2, 32, 32, 3)) * 0.5}
+    _, log_a = trainer.generator_step(state, batch, rng)
+
+    bad_stats = jax.tree.map(lambda s: s + 1000.0, state.disc_stats)
+    _, log_b = trainer.generator_step(
+        state._replace(disc_stats=bad_stats), batch, rng)
+    np.testing.assert_allclose(
+        float(log_a["g_loss"]), float(log_b["g_loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(log_a["total_loss"]), float(log_b["total_loss"]), rtol=1e-6)

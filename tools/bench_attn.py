@@ -125,37 +125,31 @@ def bench_unet(variants):
                 return q
             if kind == "xla_all":
                 return real(q, k, v, scale=scale, mask=mask, impl="xla")
-            if kind == "mix":  # measured-best dispatch candidate:
-                # flash at self-1024/256 + cross, XLA at self-4096
+            if kind == "mix":  # flash everywhere except self-4096
                 if is_self and q.shape[1] >= 2048:
                     return real(q, k, v, scale=scale, mask=mask, impl="xla")
                 return real(q, k, v, scale=scale, mask=mask, impl="flash")
+            if kind == "mix2":  # flash ONLY at self-1024/256 (cross = XLA)
+                if is_self and q.shape[1] <= 1024:
+                    return real(q, k, v, scale=scale, mask=mask, impl="flash")
+                return real(q, k, v, scale=scale, mask=mask, impl="xla")
+            if kind == "mix3":  # mix2 + flash at the N=256 cross site
+                if (is_self and q.shape[1] <= 1024) or (
+                        not is_self and q.shape[1] <= 256):
+                    return real(q, k, v, scale=scale, mask=mask, impl="flash")
+                return real(q, k, v, scale=scale, mask=mask, impl="xla")
             if kind == "flash_all":
                 return real(q, k, v, scale=scale, mask=mask, impl="flash")
             return real(q, k, v, scale=scale, mask=mask, impl=impl)
         return patched
 
-    import flax.linen as nn
     from sd_tpu.ops import norms as norms_mod
-
-    real_gn = norms_mod.GroupNorm32.__call__
-    real_ln = norms_mod.LayerNormFp32.__call__
-
-    def gn_bf16(self, x):
-        return nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
-                            dtype=jnp.bfloat16, param_dtype=jnp.float32,
-                            use_fast_variance=True)(x)
-
-    def ln_bf16(self, x):
-        return nn.LayerNorm(epsilon=self.eps, dtype=jnp.bfloat16,
-                            param_dtype=jnp.float32, use_fast_variance=True)(x)
 
     results = {}
     for kind in variants:
         attn_kind = kind
         if kind == "bf16norm":  # fp32-norm-island cost probe (attn = auto)
-            norms_mod.GroupNorm32.__call__ = gn_bf16
-            norms_mod.LayerNormFp32.__call__ = ln_bf16
+            norms_mod.set_norm_stats_dtype(jnp.bfloat16)
             attn_kind = "auto"
         attn_mod.dot_product_attention = make_patched(attn_kind)
 
@@ -172,8 +166,7 @@ def bench_unet(variants):
             continue
         finally:
             attn_mod.dot_product_attention = real
-            norms_mod.GroupNorm32.__call__ = real_gn
-            norms_mod.LayerNormFp32.__call__ = real_ln
+            norms_mod.set_norm_stats_dtype(jnp.float32)
         results[kind] = round(ms, 2)
         print(f"unet/{kind:12s} {ms:8.2f} ms per CFG step", flush=True)
     print(json.dumps(results))
@@ -184,14 +177,15 @@ def bench_sweep():
     from sd_tpu.ops.pallas.flash_attention import flash_attention
 
     key = jax.random.PRNGKey(0)
+    # (block_q, exp_bf16, kt_layout, kv_chunk)
     combos = {
-        "self4096_d40": [(512, e, t) for e in (0, 1) for t in (0, 1)]
-                        + [(256, 1, 1), (1024, 1, 1)],
-        "self1024_d80": [(512, 1, 1), (1024, 1, 1), (512, 1, 0), (1024, 0, 1)],
-        "self256_d160": [(256, 1, 1), (256, 1, 0)],
-        "cross4096_d40": [(1024, 1, 1), (2048, 1, 1), (4096, 1, 1), (1024, 1, 0)],
-        "cross1024_d80": [(1024, 1, 1)],
-        "cross256_d160": [(256, 1, 1)],
+        "self4096_d40": [
+            (512, 0, 1, 512), (512, 0, 1, 1024), (512, 0, 1, 2048),
+            (1024, 0, 1, 1024), (1024, 0, 1, 512), (2048, 0, 1, 1024),
+            (512, 0, 0, 1024),
+        ],
+        "self1024_d80": [(1024, 0, 1, None), (1024, 0, 1, 512)],
+        "self256_d160": [(256, 0, 1, None)],
     }
     out = {}
     for name, nq, nk, h, d, cnt in SITES:
@@ -199,13 +193,14 @@ def bench_sweep():
         q0 = jax.random.normal(kq, (B, nq, h, d), jnp.bfloat16)
         k0 = jax.random.normal(kk, (B, nk, h, d), jnp.bfloat16)
         v0 = jax.random.normal(kv, (B, nk, h, d), jnp.bfloat16)
-        for bq, expb, ktl in combos.get(name, []):
+        for bq, expb, ktl, ck in combos.get(name, []):
             @jax.jit
-            def step(q, _k=k0, _v=v0, _bq=bq, _e=bool(expb), _t=bool(ktl)):
+            def step(q, _k=k0, _v=v0, _bq=bq, _e=bool(expb), _t=bool(ktl),
+                     _c=ck):
                 return flash_attention(q, _k, _v, block_q=_bq, exp_bf16=_e,
-                                       kt_layout=_t)
+                                       kt_layout=_t, kv_chunk=_c)
 
-            tag = f"{name}/bq{bq}_exp{expb}_kt{ktl}"
+            tag = f"{name}/bq{bq}_exp{expb}_kt{ktl}_ck{ck}"
             try:
                 ms = time_chain(step, q0)
             except Exception as e:
@@ -222,6 +217,8 @@ if __name__ == "__main__":
     if mode == "sites":
         impls = sys.argv[2].split(",") if len(sys.argv) > 2 else ["xla", "auto"]
         bench_sites(impls)
+    elif mode == "sweep":
+        bench_sweep()
     elif mode == "unet":
         variants = (sys.argv[2].split(",") if len(sys.argv) > 2 else
                     ["auto", "xla_all", "stub_all", "stub_self", "stub_cross"])
