@@ -79,16 +79,28 @@ def fold_patches(patches, out_hw: Tuple[int, int], ks: int, sy, sx,
 
 def tiled_apply(fn: Callable, x, ks: int = 128, stride: int = 64,
                 out_scale: float = 1, out_channels: Optional[int] = None,
-                clip_min: float = 0.01, clip_max: float = 0.5):
+                clip_min: float = 0.01, clip_max: float = 0.5,
+                mesh=None, mesh_axis: str = "data"):
     """Apply ``fn`` ([N, ks, ks, C] -> [N, ks*s, ks*s, C']) over overlapping
     tiles of ``x`` and stitch. ``out_scale`` > 1 for decoders (upsampling),
     < 1 for encoders (e.g. 1/vqf — ks and stride must then be multiples of
     1/out_scale so tile geometry stays integral).
+
+    ``mesh`` shards the flattened [B*P] patch axis over ``mesh_axis`` — the
+    multi-chip big-canvas seam (SURVEY.md §5.7): each chip denoises its
+    tiles, the weighted fold runs under GSPMD. The patch count need not
+    divide the axis; GSPMD pads the final shard.
     """
     b, h, w, c = x.shape
     patches, sy, sx = extract_patches(x, ks, stride)
     p = patches.shape[1]
     flat = patches.reshape((b * p,) + patches.shape[2:])
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(mesh_axis, *([None] * (flat.ndim - 1)))
+        flat = jax.lax.with_sharding_constraint(
+            flat, NamedSharding(mesh, spec))
     out_flat = fn(flat)
     oks = ks * out_scale
     oh, ow = h * out_scale, w * out_scale

@@ -29,6 +29,7 @@ __all__ = [
     "annotate",
     "StepTimer",
     "MetricsWriter",
+    "WandbWriter",
     "start_profiler_server",
 ]
 
@@ -171,3 +172,23 @@ class MetricsWriter:
         self._f.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class WandbWriter:
+    """Optional Weights & Biases sink (the reference offers a wandb logger
+    alongside TestTube, ``main.py:548-556``). Thin adapter over the wandb
+    package — raises at construction when wandb isn't installed (this image
+    doesn't ship it; TensorBoard + JSONL are the in-repo sinks)."""
+
+    def __init__(self, project: str = "sd_tpu", run_name: Optional[str] = None,
+                 config: Optional[Dict[str, Any]] = None):
+        import wandb  # noqa: F401 — hard dependency of this sink only
+
+        self._run = wandb.init(project=project, name=run_name, config=config)
+
+    def write(self, step: int, metrics: Dict[str, Any], split: str = "train"):
+        self._run.log({k: float(np.asarray(v)) for k, v in metrics.items()
+                       if np.ndim(v) == 0}, step=int(step))
+
+    def close(self):
+        self._run.finish()

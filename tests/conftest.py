@@ -16,7 +16,9 @@ import jax
 
 # The axon sitecustomize pins jax_platforms to the TPU tunnel; tests must run
 # on the virtual 8-device CPU mesh (fast, deterministic, exercises sharding).
-jax.config.update("jax_platforms", "cpu")
+# SD_TPU_RUN_TPU_TESTS keeps the real device for tests/test_tpu_only.py.
+if not os.environ.get("SD_TPU_RUN_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

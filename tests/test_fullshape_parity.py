@@ -68,8 +68,7 @@ def test_fullshape_unet_cfg_step_parity():
     sd = {f"model.diffusion_model.{k}": v for k, v in ref.state_dict().items()}
     del ref
 
-    from sd_tpu.models.unet import UNetConfig, UNetModel
-    from sd_tpu.utils.port import port_unet
+    from sd_tpu.models.unet import UNetConfig, UNetModel, port_unet
 
     cfg = UNetConfig.from_dict(SD_UNET_KW)
     unet = UNetModel(config=cfg)
@@ -107,8 +106,7 @@ def test_fullshape_vae_512_roundtrip_parity():
             sd[f"first_stage_model.{prefix}.{k}"] = v
     del enc, dec
 
-    from sd_tpu.models.vae import AutoencoderKL
-    from sd_tpu.utils.port import port_autoencoder_kl
+    from sd_tpu.models.vae import AutoencoderKL, port_autoencoder_kl
 
     vae = AutoencoderKL(ddconfig=KL_F8_DD, embed_dim=4)
     params = port_autoencoder_kl(sd, KL_F8_DD, prefix="first_stage_model.")

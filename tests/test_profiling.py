@@ -83,3 +83,31 @@ def test_tensorboard_event_file(tmp_path):
     assert _s.pack("<f", 0.25) in records[1]
     # step=7 varint after field key 0x10
     assert b"\x10\x07" in records[1]
+
+
+def test_wandb_writer_adapter(monkeypatch):
+    """WandbWriter adapts the wandb package when present (main.py:548-556);
+    exercised against a stub module (wandb is not in this image)."""
+    import sys
+    import types
+
+    from sd_tpu.utils.profiling import WandbWriter
+
+    logged = []
+
+    class FakeRun:
+        def log(self, metrics, step=None):
+            logged.append((step, metrics))
+
+        def finish(self):
+            logged.append("finished")
+
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: FakeRun()
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    w = WandbWriter(project="t")
+    w.write(3, {"loss": jnp.asarray(0.5), "skip": np.zeros(2)})
+    w.close()
+    assert logged[0] == (3, {"loss": 0.5})
+    assert logged[-1] == "finished"

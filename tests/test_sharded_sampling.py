@@ -57,3 +57,24 @@ def test_sharded_rejects_indivisible_batch():
     with pytest.raises(AssertionError):
         sharded_sample(mesh, ddim_sample, eps_model, SCHED, (6, 8, 8, 4),
                        jnp.ones((6, 4, 8)), jax.random.PRNGKey(0), num_steps=2)
+
+
+def test_tiled_apply_shards_patches_over_mesh():
+    """Big-canvas tiling sharded over the mesh (SURVEY.md §5.7): the [B*P]
+    patch axis is the multi-chip seam; sharded == unsharded output."""
+    from sd_tpu.pipelines.tiled import tiled_apply
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    fn = lambda p: jnp.tanh(p) * 0.5 + p
+
+    @jax.jit
+    def run_sharded(x):
+        return tiled_apply(fn, x, ks=16, stride=8, mesh=mesh)
+
+    with mesh:
+        out_sharded = run_sharded(x)
+    out_plain = tiled_apply(fn, x, ks=16, stride=8)
+    np.testing.assert_allclose(np.asarray(out_sharded),
+                               np.asarray(out_plain), atol=1e-5)

@@ -38,6 +38,8 @@ SITES = [
     ("cross4096_d40", 4096, 77, 8, 40, 5),
     ("cross1024_d80", 1024, 77, 8, 80, 5),
     ("cross256_d160", 256, 77, 8, 160, 6),
+    # VAE mid-block attention (single head, d=512; decode runs at batch=8)
+    ("vae4096_d512", 4096, 4096, 1, 512, 1),
 ]
 
 
@@ -106,6 +108,36 @@ def build_unet():
         shapes,
     )["params"]
     return unet, params, x0, t0, c0
+
+
+def bench_unet_noattn():
+    """Conv-floor probe: the SAME UNet with attention_resolutions=[] (no
+    SpatialTransformers at all) — isolates the resblock/updown conv path
+    from the transformer projections/FF that the attention stubs keep."""
+    from sd_tpu.models.unet import UNetConfig, UNetModel
+
+    cfg = UNetConfig.from_dict(dict(
+        image_size=64, in_channels=4, out_channels=4, model_channels=320,
+        attention_resolutions=[], num_res_blocks=2,
+        channel_mult=[1, 2, 4, 4], num_heads=8, use_spatial_transformer=False,
+        legacy=False,
+    ))
+    unet = UNetModel(config=cfg, dtype=jnp.bfloat16)
+    x0 = jnp.zeros((B, 64, 64, 4), jnp.bfloat16)
+    t0 = jnp.zeros((B,), jnp.float32)
+    shapes = jax.eval_shape(lambda k: unet.init(k, x0, t0), jax.random.PRNGKey(0))
+    params = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+        shapes,
+    )["params"]
+
+    @jax.jit
+    def step(x):
+        return unet.apply({"params": params}, x, t0).astype(jnp.bfloat16)
+
+    ms = time_chain(step, x0, iters=15, reps=2)
+    print(f"unet/noattn  {ms:8.2f} ms per CFG step (pure conv/resblock path)")
+    print(json.dumps({"noattn": round(ms, 2)}))
 
 
 def bench_unet(variants):
@@ -186,6 +218,7 @@ def bench_sweep():
         ],
         "self1024_d80": [(1024, 0, 1, None), (1024, 0, 1, 512)],
         "self256_d160": [(256, 0, 1, None)],
+        "vae4096_d512": [(1024, 0, 1, 1024), (512, 0, 1, 1024)],
     }
     out = {}
     for name, nq, nk, h, d, cnt in SITES:
@@ -219,6 +252,8 @@ if __name__ == "__main__":
         bench_sites(impls)
     elif mode == "sweep":
         bench_sweep()
+    elif mode == "noattn":
+        bench_unet_noattn()
     elif mode == "unet":
         variants = (sys.argv[2].split(",") if len(sys.argv) > 2 else
                     ["auto", "xla_all", "stub_all", "stub_self", "stub_cross"])
