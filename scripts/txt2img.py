@@ -109,34 +109,25 @@ def main():
         pipe = Txt2ImgPipeline(ldm=ldm, tokenizer=tokenizer, latent_channels=opt.C,
                                downsample=opt.f)
 
-    # Safety checker + invisible watermark: applied by default on every run,
-    # matching the reference's output contract (txt2img.py:69-95,317-343).
-    checker = None
+    # Safety checker + invisible watermark: applied by default on every run
+    # through the pipeline's native postprocess hooks, matching the
+    # reference's output contract (txt2img.py:69-95,317-343).
     if opt.safety:
         from sd_tpu.pipelines.safety import SafetyChecker, port_safety_checker
 
         if opt.safety_ckpt:
             from sd_tpu.utils.port import load_torch_state_dict
 
-            checker = port_safety_checker(load_torch_state_dict(opt.safety_ckpt))
+            pipe.safety_checker = port_safety_checker(
+                load_torch_state_dict(opt.safety_ckpt))
         else:
             print("safety checker: no --safety_ckpt given — running with "
                   "unreachable thresholds (scores computed, nothing flagged)")
-            checker = SafetyChecker.untrained(jax.random.PRNGKey(0))
-    wm_encode = None
-    if opt.watermark:
+            pipe.safety_checker = SafetyChecker.untrained(jax.random.PRNGKey(0))
+    if opt.watermark and min(opt.H, opt.W) >= 32:  # DWT capacity floor
         from sd_tpu.utils.watermark import embed_watermark
 
-        wm_encode = embed_watermark  # payload defaults to "StableDiffusionV1"
-
-    def postprocess(imgs_u8):
-        if checker is not None:
-            imgs_u8, flags = checker(imgs_u8)
-            if flags.any():
-                print(f"safety checker replaced {int(flags.sum())} image(s)")
-        if wm_encode is not None and min(imgs_u8.shape[1:3]) >= 32:
-            imgs_u8 = np.stack([wm_encode(im) for im in imgs_u8])
-        return imgs_u8
+        pipe.watermarker = embed_watermark  # payload "StableDiffusionV1"
 
     sampler = "dpm" if opt.dpm_solver else ("plms" if opt.plms else "ddim")
     if opt.from_file:
@@ -165,7 +156,6 @@ def main():
             steps=opt.ddim_steps, guidance_scale=opt.scale, sampler=sampler,
             eta=opt.ddim_eta, x_T=x_T,
         )
-        imgs = postprocess(np.asarray(imgs))
         all_samples.append(imgs)
         if not opt.skip_save:
             for img in imgs:

@@ -114,7 +114,9 @@ class LatentDiffusion:
         ks = p["ks"][0] if isinstance(p.get("ks"), (tuple, list)) else p.get("ks", 128)
         stride = (p["stride"][0] if isinstance(p.get("stride"), (tuple, list))
                   else p.get("stride", 64))
-        ks = min(ks, x.shape[1])
+        # square patches: clamp to the SMALLER canvas dim (the reference
+        # clamps both, ddpm.py:609-615)
+        ks = min(ks, x.shape[1], x.shape[2])
         b, h, w, _ = x.shape
         key = self.conditioning_key
 
@@ -136,18 +138,24 @@ class LatentDiffusion:
             cond_dict = {CONDITIONING_KEYS.get(key, "c_crossattn"): cond_dict}
         cond_dict = dict(cond_dict or {})
 
-        def as_tensor(v):
-            return jnp.concatenate(v, axis=-1) if isinstance(v, (list, tuple)) else v
+        def as_tensor(v, name):
+            if not isinstance(v, (list, tuple)):
+                return v
+            if name == "y":
+                return v[0]
+            # same axes as _apply_model_inner.get (ddpm.py:1405-1413)
+            return jnp.concatenate(v, axis=1 if name == "c_crossattn" else -1)
 
         cond_flat: Optional[Dict[str, Any]] = None
         if cond_dict:
             if self.cond_stage_key == "coordinates_bbox":
                 cond_flat = {"c_crossattn": self._bbox_patch_conditioning(
-                    as_tensor(cond_dict["c_crossattn"]), sy, sx, ks, b)}
+                    as_tensor(cond_dict["c_crossattn"], "c_crossattn"),
+                    sy, sx, ks, b)}
             else:
                 cond_flat = {}
                 for k, v in cond_dict.items():
-                    v = as_tensor(v)
+                    v = as_tensor(v, k)
                     if k == "y":
                         cond_flat[k] = repeat_ctx(v)
                     elif k == "c_concat" or (
@@ -184,8 +192,15 @@ class LatentDiffusion:
             "BoundingBoxRescaling is missing original_image_size")
         full_h, full_w = p["original_image_size"]
         m = self.first_stage_model
-        ch_mult = getattr(m, "ch_mult", None)
-        rescale = 2 ** (len(ch_mult) - 1) if ch_mult else p.get("vqf", 4)
+        # num_downs from the first stage's ddconfig (ddpm.py:938-939:
+        # 2 ** (encoder.num_resolutions - 1)); explicit vqf overrides
+        ch_mult = (getattr(m, "ddconfig", None) or {}).get("ch_mult")
+        if "vqf" in p:
+            rescale = p["vqf"]
+        elif ch_mult:
+            rescale = 2 ** (len(ch_mult) - 1)
+        else:
+            rescale = 4
 
         crops = []
         for y in np.asarray(sy).reshape(-1):
@@ -221,7 +236,15 @@ class LatentDiffusion:
             if v is None:
                 return None
             if isinstance(v, (list, tuple)):
-                v = jnp.concatenate(v, axis=-1) if name != "y" else v[0]
+                # DiffusionWrapper concatenates both lists along torch dim 1
+                # (ddpm.py:1405-1413): channels for c_concat (NHWC -> -1),
+                # TOKENS for c_crossattn (RDM stacks query+neighbor contexts)
+                if name == "y":
+                    v = v[0]
+                elif name == "c_crossattn":
+                    v = jnp.concatenate(v, axis=1)
+                else:
+                    v = jnp.concatenate(v, axis=-1)
             return v
 
         c_concat = get("c_concat")

@@ -26,6 +26,12 @@ _STATS_DTYPE = jnp.float32
 
 
 def set_norm_stats_dtype(dtype) -> None:
+    """Set the norm-statistics dtype for SUBSEQUENTLY TRACED programs.
+
+    The value is read at trace time and is NOT part of any jit cache key:
+    functions already compiled keep the dtype they were traced with. Call
+    this before building/jitting the model (tools/bench_attn.py re-jits per
+    variant for exactly this reason)."""
     global _STATS_DTYPE
     _STATS_DTYPE = dtype
 

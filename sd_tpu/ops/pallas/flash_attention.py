@@ -115,10 +115,10 @@ def _block_q(nq: int, cap: int) -> int:
 def _softmax_rows(s2, kv_len, nk, exp_bf16: bool):
     """exp2 softmax over the last axis of fp32 ``s2`` (already * log2e).
 
-    ``exp_bf16`` computes the exponentials in bf16 (the PV matmul consumes
-    bf16 anyway) — one fewer full-width VPU pass and no separate cast pass.
-    Used only when the operands are bf16 (production); fp32 operands keep an
-    exact fp32 softmax for test parity.
+    ``exp_bf16`` computes the exponentials in bf16. MEASURED SLOWER on v5e
+    (9.59 vs 8.80 ms at N=4096 — bf16 transcendentals lower with pack/unpack
+    overhead) and therefore OFF by default; the flag is kept for re-tuning
+    on other TPU generations.
     """
     if kv_len < nk:  # padded keys (cross-attention): mask them out
         col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, dimension=1)
@@ -227,7 +227,8 @@ def _fwd_bhnd(qt, kt, vt, scale: float, kv_len: int,
 
     ``kt_layout=True`` feeds K pre-transposed as [B, H, D, Nk] so the QK^T
     contraction hits K's sublane axis directly (no in-VMEM transpose).
-    ``exp_bf16=None`` resolves to True for bf16 operands.
+    ``exp_bf16=None`` resolves to False (measured slower — see
+    :func:`_softmax_rows`).
     """
     b, h, nq, d = qt.shape
     nk = kt.shape[2]
@@ -280,10 +281,14 @@ def _fwd_bhnd(qt, kt, vt, scale: float, kv_len: int,
             kv_chunk = 1024
         elif nk == 1024:
             kv_chunk = 512
+    # chunking needs unmasked, evenly-divisible rows; resolve BEFORE picking
+    # the block size (the monolithic kernel's measured optimum is bq=512)
+    if kv_chunk and not (kv_len == nk and nk % kv_chunk == 0):
+        kv_chunk = None
     default_bq = nq if nq <= _BLOCK_Q_WHOLE_ROW_MAX else (
         1024 if kv_chunk else _BLOCK_Q)
     bq = _block_q(nq, block_q or default_bq)
-    if kv_chunk and kv_len == nk and nk % kv_chunk == 0:
+    if kv_chunk:
         kernel = functools.partial(_kernel_chunked, scale=float(scale),
                                    kv_len=kv_len, kt=kt_layout, chunk=kv_chunk)
     else:

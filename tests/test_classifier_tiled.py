@@ -288,3 +288,40 @@ def test_tiled_bbox_patch_retokenization(rng):
                                  "original_image_size": (256, 256), "vqf": 4})
     out2 = ldm2.apply_model(x, jnp.zeros((1,)), {"c_crossattn": [ids]})
     assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 0
+
+
+def test_tiled_apply_model_nonsquare_canvas(rng):
+    """ks must clamp to the SMALLER canvas dim (review r2: width < ks used to
+    crash fold_patches with a square-weight broadcast error)."""
+    from sd_tpu.core.schedules import DiffusionSchedule
+    from sd_tpu.models.ldm import LatentDiffusion
+
+    unet, params = _tiny_unet(3, rng)
+    sched = DiffusionSchedule.create(20, "linear", 0.0015, 0.0195)
+    import dataclasses
+    ldm = LatentDiffusion(unet=unet, unet_params=params, schedule=sched,
+                          conditioning_key=None,
+                          split_input_params={"ks": 16, "stride": 8})
+    x = jax.random.normal(rng, (1, 32, 12, 3))  # width 12 < ks 16
+    out = ldm.apply_model(x, jnp.zeros((1,)), None)
+    assert out.shape == (1, 32, 12, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_crossattn_cond_list_concatenates_tokens(rng):
+    """c_crossattn LISTS concatenate along the TOKEN axis (ddpm.py:1409 —
+    RDM stacks query+neighbor contexts), not the embedding axis."""
+    from sd_tpu.core.schedules import DiffusionSchedule
+    from sd_tpu.models.ldm import LatentDiffusion
+
+    unet, params = _tiny_unet(3, rng, context_dim=16)
+    sched = DiffusionSchedule.create(20, "linear", 0.0015, 0.0195)
+    ldm = LatentDiffusion(unet=unet, unet_params=params, schedule=sched,
+                          conditioning_key="crossattn")
+    x = jax.random.normal(rng, (1, 16, 16, 3))
+    c1 = jax.random.normal(jax.random.fold_in(rng, 1), (1, 4, 16))
+    c2 = jax.random.normal(jax.random.fold_in(rng, 2), (1, 3, 16))
+    # 4+3=7 context tokens at the UNet's context_dim=16: embedding-axis
+    # concat would produce [1, 4?, 32] and fail the K/V projection
+    out = ldm.apply_model(x, jnp.zeros((1,)), {"c_crossattn": [c1, c2]})
+    assert out.shape == (1, 16, 16, 3)
