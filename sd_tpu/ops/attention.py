@@ -105,6 +105,33 @@ class GEGLU(nn.Module):
         return x * jax.nn.gelu(gate, approximate=False)
 
 
+class _DenseParams(nn.Module):
+    """Declares the exact param tree of an ``nn.Dense`` (same names, shapes,
+    initializers) WITHOUT applying it — lets the fused-FF kernel consume the
+    weights while staying checkpoint/port-compatible with the unfused path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
+class _GEGLUParams(nn.Module):
+    """Param-tree stand-in for :class:`GEGLU` (child Dense named ``proj``)."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return _DenseParams(self.dim_out * 2, name="proj")(in_features)
+
+
 class FeedForward(nn.Module):
     """Transformer MLP, optionally gated. Ref: ``attention.py:47-64``."""
 
@@ -118,6 +145,16 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         inner = int(self.dim * self.mult)
+        if self.glu and (deterministic or self.dropout == 0.0):
+            # fused GEGLU+gelu+out-proj kernel: one HBM read/write instead of
+            # ~5 full-width passes (sd_tpu/ops/pallas/geglu_ff.py)
+            from sd_tpu.ops.pallas.geglu_ff import ff_supported, geglu_ff
+
+            if ff_supported(x, inner):
+                w1, b1 = _GEGLUParams(inner, name="proj_in")(x.shape[-1])
+                w2, b2 = _DenseParams(
+                    self.dim_out or self.dim, name="proj_out")(inner)
+                return geglu_ff(x, w1, b1, w2, b2)
         if self.glu:
             x = GEGLU(inner, dtype=self.dtype, name="proj_in")(x)
         else:

@@ -87,3 +87,23 @@ def test_unet_grad_flows_through_auto_attention_on_tpu():
     gmax = max(float(jnp.max(jnp.abs(g.astype(jnp.float32))))
                for g in jax.tree.leaves(grads))
     assert np.isfinite(gmax) and gmax > 0
+
+
+def test_geglu_ff_parity_on_tpu():
+    """Fused GEGLU FF kernel compiled on the chip vs the XLA reference at the
+    SD level-0 site shape (C=320, inner=1280)."""
+    from sd_tpu.ops.pallas.geglu_ff import _ff_reference, ff_supported, geglu_ff
+
+    rng = np.random.default_rng(0)
+    c, inner = 320, 1280
+    x = jnp.asarray(rng.standard_normal((2, 4096, c)) * 0.5, jnp.bfloat16)
+    w1 = jnp.asarray(rng.standard_normal((c, 2 * inner)) * 0.03, jnp.bfloat16)
+    b1 = jnp.asarray(rng.standard_normal((2 * inner,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((inner, c)) * 0.03, jnp.bfloat16)
+    b2 = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    assert ff_supported(x, inner)
+    out = jax.jit(geglu_ff)(x, w1, b1, w2, b2)
+    ref = jax.jit(_ff_reference)(x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2)

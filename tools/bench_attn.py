@@ -177,11 +177,23 @@ def bench_unet(variants):
 
     from sd_tpu.ops import norms as norms_mod
 
+    real_gn_call = norms_mod.GroupNorm32.__call__
+    real_ln_call = norms_mod.LayerNormFp32.__call__
+    real_ff_call = attn_mod.FeedForward.__call__
+
     results = {}
     for kind in variants:
         attn_kind = kind
         if kind == "bf16norm":  # fp32-norm-island cost probe (attn = auto)
             norms_mod.set_norm_stats_dtype(jnp.bfloat16)
+            attn_kind = "auto"
+        elif kind == "nonorm":  # GN/LN -> identity: total norm-pass cost
+            norms_mod.GroupNorm32.__call__ = lambda self, x: x
+            norms_mod.LayerNormFp32.__call__ = lambda self, x: x
+            attn_kind = "auto"
+        elif kind == "noff":  # FeedForward -> identity (GEGLU matmul cost)
+            attn_mod.FeedForward.__call__ = (
+                lambda self, x, deterministic=True: x)
             attn_kind = "auto"
         attn_mod.dot_product_attention = make_patched(attn_kind)
 
@@ -199,9 +211,62 @@ def bench_unet(variants):
         finally:
             attn_mod.dot_product_attention = real
             norms_mod.set_norm_stats_dtype(jnp.float32)
+            norms_mod.GroupNorm32.__call__ = real_gn_call
+            norms_mod.LayerNormFp32.__call__ = real_ln_call
+            attn_mod.FeedForward.__call__ = real_ff_call
         results[kind] = round(ms, 2)
         print(f"unet/{kind:12s} {ms:8.2f} ms per CFG step", flush=True)
     print(json.dumps(results))
+
+
+FF_SITES = [
+    # (name, rows, C, inner, count_per_step)
+    ("ff4096_c320", B * 4096, 320, 1280, 5),
+    ("ff1024_c640", B * 1024, 640, 2560, 5),
+    ("ff256_c1280", B * 256, 1280, 5120, 6),
+]
+
+
+def bench_ff():
+    """Fused GEGLU-FF kernel vs the plain-XLA path at the SD FF sites."""
+    from sd_tpu.ops.pallas.geglu_ff import _ff_reference, geglu_ff
+
+    key = jax.random.PRNGKey(0)
+    out = {}
+    for name, m, c, inner, cnt in FF_SITES:
+        kx, kw = jax.random.split(jax.random.fold_in(key, m))
+        x0 = jax.random.normal(kx, (m, c), jnp.bfloat16) * 0.5
+        k1, k2, k3, k4 = jax.random.split(kw, 4)
+        w1 = jax.random.normal(k1, (c, 2 * inner), jnp.bfloat16) * 0.03
+        b1 = jax.random.normal(k2, (2 * inner,), jnp.float32) * 0.1
+        w2 = jax.random.normal(k3, (inner, c), jnp.bfloat16) * 0.03
+        b2 = jax.random.normal(k4, (c,), jnp.float32) * 0.1
+
+        variants = {"xla": None}
+        for bm in (256, 512, 1024):
+            if m % bm == 0:
+                variants[f"bm{bm}"] = bm
+        for tag, bm in variants.items():
+            if bm is None:
+                @jax.jit
+                def step(x, _w1=w1, _b1=b1.reshape(1, -1), _w2=w2,
+                         _b2=b2.reshape(1, -1)):
+                    return _ff_reference(x, _w1, _b1, _w2, _b2)
+            else:
+                @jax.jit
+                def step(x, _w1=w1, _b1=b1, _w2=w2, _b2=b2, _bm=bm):
+                    return geglu_ff(x, _w1, _b1, _w2, _b2, block_m=_bm)
+
+            try:
+                ms = time_chain(step, x0)
+            except Exception as e:
+                print(f"{name}/{tag}: FAIL {type(e).__name__}: {str(e)[:120]}",
+                      flush=True)
+                continue
+            out[f"{name}/{tag}"] = round(ms, 3)
+            print(f"{name:14s} {tag:6s} {ms:8.3f} ms  (x{cnt} = "
+                  f"{ms * cnt:6.2f} ms/step)", flush=True)
+    print(json.dumps(out))
 
 
 def bench_sweep():
@@ -252,6 +317,8 @@ if __name__ == "__main__":
         bench_sites(impls)
     elif mode == "sweep":
         bench_sweep()
+    elif mode == "ff":
+        bench_ff()
     elif mode == "noattn":
         bench_unet_noattn()
     elif mode == "unet":
