@@ -277,13 +277,12 @@ def bench_sweep():
     # (block_q, exp_bf16, kt_layout, kv_chunk)
     combos = {
         "self4096_d40": [
-            (512, 0, 1, 512), (512, 0, 1, 1024), (512, 0, 1, 2048),
-            (1024, 0, 1, 1024), (1024, 0, 1, 512), (2048, 0, 1, 1024),
-            (512, 0, 0, 1024),
+            (1024, 0, 1, 1024),  # r2 incumbent: 7.52 ms
+            (2048, 0, 1, 512), (2048, 0, 1, 1024), (2048, 0, 1, 2048),
+            (4096, 0, 1, 1024), (4096, 0, 1, 2048), (1024, 0, 1, 2048),
         ],
-        "self1024_d80": [(1024, 0, 1, None), (1024, 0, 1, 512)],
+        "self1024_d80": [(1024, 0, 1, 512), (1024, 0, 1, 256)],
         "self256_d160": [(256, 0, 1, None)],
-        "vae4096_d512": [(1024, 0, 1, 1024), (512, 0, 1, 1024)],
     }
     out = {}
     for name, nq, nk, h, d, cnt in SITES:
