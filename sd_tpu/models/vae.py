@@ -25,6 +25,7 @@ import numpy as np
 from sd_tpu.core.distributions import DiagonalGaussian
 from sd_tpu.ops.attention import LinearAttention, VAEAttnBlock
 from sd_tpu.ops.norms import GroupNorm32
+from sd_tpu.ops.conv import Conv3x3
 from sd_tpu.ops.resblock import Downsample, Upsample, VAEResnetBlock
 from sd_tpu.utils import port
 
@@ -73,7 +74,7 @@ class Encoder(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         num_resolutions = len(self.ch_mult)
         curr_res = self.resolution
-        h = nn.Conv(self.ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        h = Conv3x3(self.ch, dtype=self.dtype, name="conv_in")(x)
 
         in_ch_mult = (1,) + tuple(self.ch_mult)
         for i_level in range(num_resolutions):
@@ -106,7 +107,7 @@ class Encoder(nn.Module):
         h = GroupNorm32(eps=1e-6, name="norm_out")(h)
         h = jax.nn.silu(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
-        return nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+        return Conv3x3(out_ch, dtype=self.dtype, name="conv_out")(h)
 
 
 class Decoder(nn.Module):
@@ -132,7 +133,7 @@ class Decoder(nn.Module):
         block_in = self.ch * self.ch_mult[-1]
         curr_res = self.resolution // 2 ** (num_resolutions - 1)
 
-        h = nn.Conv(block_in, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
+        h = Conv3x3(block_in, dtype=self.dtype, name="conv_in")(z)
 
         h = VAEResnetBlock(in_channels=block_in, dropout=self.dropout,
                            dtype=self.dtype, name="mid_block_1")(h, deterministic=deterministic)
@@ -161,7 +162,7 @@ class Decoder(nn.Module):
             return h
         h = GroupNorm32(eps=1e-6, name="norm_out")(h)
         h = jax.nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+        h = Conv3x3(self.out_ch, dtype=self.dtype, name="conv_out")(h)
         if self.tanh_out:
             h = jnp.tanh(h)
         return h

@@ -1,0 +1,58 @@
+"""3x3 convolution with Winograd dispatch (drop-in for ``nn.Conv``).
+
+Every stride-1 SAME 3x3 conv in the resblock stacks
+(``ldm/modules/diffusionmodules/openaimodel.py:163-275``,
+``model.py:82-141``) goes through ``Conv3x3``: identical param tree to
+``flax.linen.Conv`` (``kernel`` [3,3,Cin,Cout] HWIO + ``bias`` [Cout]), so
+checkpoints and the torch weight porter are unaffected. On TPU bf16 at
+supported shapes it dispatches to the Winograd F(2x2,3x3) Pallas kernel
+(``sd_tpu/ops/pallas/winograd_conv.py`` — 2.25x fewer MXU MACs than XLA's
+direct lowering); everywhere else it computes the direct XLA conv.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sd_tpu.ops.pallas.winograd_conv import winograd_conv3x3, winograd_supported
+
+__all__ = ["Conv3x3"]
+
+
+class Conv3x3(nn.Module):
+    """NHWC 3x3 stride-1 SAME conv; param tree identical to ``nn.Conv``.
+
+    ``impl``: ``"auto"`` (Winograd where supported & measured faster),
+    ``"xla"`` (always direct), ``"winograd"`` (force the kernel — tests).
+    """
+
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+    dtype: Optional[Any] = None
+    impl: str = "auto"
+    interpret: bool = False  # interpret-mode kernel (CPU tests)
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          jnp.float32)
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        use_wino = self.impl == "winograd" or (
+            self.impl == "auto"
+            and winograd_supported(x.shape, kernel.shape, dtype))
+        if use_wino:
+            y = winograd_conv3x3(x, kernel, interpret=self.interpret)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(dtype)

@@ -9,9 +9,11 @@ Covers both resblock families in the reference:
 - ``Upsample``/``Downsample`` for both stacks (``openaimodel.py:92-160``,
   ``model.py:42-80`` — note the VAE downsample's asymmetric (0,1)x(0,1) pad).
 
-All convs are 3x3 NHWC (HWIO kernels); GroupNorm+SiLU+conv stacks are left
-for XLA to fuse — on TPU these lower to MXU convolutions with fused
-elementwise prologues.
+All convs are 3x3 NHWC (HWIO kernels). GroupNorm+SiLU prologues are left
+for XLA to fuse into the conv input read; the stride-1 3x3 convs themselves
+go through ``Conv3x3`` (``sd_tpu/ops/conv.py``), which dispatches to the
+Winograd F(2x2,3x3) Pallas kernel on TPU where measured faster and is an
+exact ``nn.Conv`` drop-in (same param tree) everywhere else.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from sd_tpu.ops.conv import Conv3x3
 from sd_tpu.ops.norms import GroupNorm32
 
 __all__ = ["Upsample", "Downsample", "ResBlock", "VAEResnetBlock"]
@@ -49,10 +52,8 @@ class Upsample(nn.Module):
     def __call__(self, x):
         x = nearest_upsample_2x(x)
         if self.use_conv:
-            x = nn.Conv(
-                self.out_channels or self.channels, (3, 3), padding=1,
-                dtype=self.dtype, name="conv",
-            )(x)
+            x = Conv3x3(self.out_channels or self.channels,
+                        dtype=self.dtype, name="conv")(x)
         return x
 
 
@@ -117,7 +118,7 @@ class ResBlock(nn.Module):
         elif self.down:
             h = nn.avg_pool(h, (2, 2), strides=(2, 2))
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
+        h = Conv3x3(out_ch, dtype=self.dtype, name="in_conv")(h)
 
         emb_out = nn.Dense(
             2 * out_ch if self.use_scale_shift_norm else out_ch,
@@ -133,15 +134,13 @@ class ResBlock(nn.Module):
             h = GroupNorm32(name="out_norm")(h)
         h = jax.nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(
-            out_ch, (3, 3), padding=1, dtype=self.dtype,
-            kernel_init=zeros_init, name="out_conv",
-        )(h)
+        h = Conv3x3(out_ch, dtype=self.dtype, kernel_init=zeros_init,
+                    name="out_conv")(h)
 
         if out_ch == self.channels:
             skip = x
         elif self.use_conv:
-            skip = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="skip")(x)
+            skip = Conv3x3(out_ch, dtype=self.dtype, name="skip")(x)
         else:
             skip = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="skip")(x)
         return skip + h
@@ -167,7 +166,7 @@ class VAEResnetBlock(nn.Module):
 
         h = GroupNorm32(eps=1e-6, name="norm1")(x)
         h = jax.nn.silu(h)
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = Conv3x3(out_ch, dtype=self.dtype, name="conv1")(h)
 
         if temb is not None:
             h = h + nn.Dense(out_ch, dtype=self.dtype, name="temb_proj")(
@@ -177,11 +176,11 @@ class VAEResnetBlock(nn.Module):
         h = GroupNorm32(eps=1e-6, name="norm2")(h)
         h = jax.nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = Conv3x3(out_ch, dtype=self.dtype, name="conv2")(h)
 
         if self.in_channels != out_ch:
             if self.conv_shortcut:
-                x = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_shortcut")(x)
+                x = Conv3x3(out_ch, dtype=self.dtype, name="conv_shortcut")(x)
             else:
                 x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
         return x + h
