@@ -205,10 +205,13 @@ def _wino_pallas(x, u, *, trh: Optional[int] = None,
             memory_space=pltpu.VMEM),) * 4
         out_shapes = (jax.ShapeDtypeStruct((b, r, s, k), x.dtype),) * 4
 
+    # cache V across cout tiles only when the scratch fits comfortably —
+    # a 15.7 MB scratch at c=1920 crashed the TPU worker (VMEM blowup)
+    use_scratch = k // tk > 1 and 16 * trh * s * c * 2 <= 4 * 1024 * 1024
     flops = 2 * b * r * s * 16 * c * k
     out = pl.pallas_call(
         functools.partial(_kernel, s=s, trh=trh, interleave=interleave,
-                          scratch=k // tk > 1),
+                          scratch=use_scratch),
         out_shape=out_shapes,
         grid=(b, r // trh, k // tk),
         in_specs=[group_spec] * 4 + [
@@ -216,7 +219,7 @@ def _wino_pallas(x, u, *, trh: Optional[int] = None,
                          memory_space=pltpu.VMEM)],
         out_specs=out_specs,
         scratch_shapes=([pltpu.VMEM((16, trh * s, c), x.dtype)]
-                        if k // tk > 1 else []),
+                        if use_scratch else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -262,12 +265,23 @@ _wino_conv.defvjp(_wino_fwd, _wino_bwd)
 
 
 def winograd_supported(x_shape, w_shape, dtype) -> bool:
-    """True where the kernel applies and is measured faster than XLA's conv
-    (v5e sweep in tools/exp_winograd.py). ``SD_TPU_CONV_IMPL=xla`` disables
-    globally (in-context A/B ablations)."""
+    """Whether the kernel CAN run at this shape — not whether it should.
+
+    MEASURED IN-CONTEXT LOSS (v5e, r2): the full UNet conv path runs 50.35 ms
+    with Winograd dispatched vs 42.31 ms direct (tools/bench_attn.py noattn).
+    The 2.25x MAC saving is eaten by (profile, tools/profile_op.py): the
+    parity-plane prep pass (~0.40 ms/l0-conv of strided slices + layout
+    copies XLA can't fuse away), the prologue/epilogue fusion the direct
+    conv gets for free (GN+SiLU in, bias+residual out), and in-kernel
+    transform overhead (kernel 0.58 ms vs 0.39 padded floor). In-kernel
+    parity splitting is worse: stride-2 slices lower to unsupported gathers,
+    and the reshape-based split's sublane relayout costs +1 ms/conv
+    (tools/exp_winograd.py split). Dispatch is therefore OFF by default —
+    set ``SD_TPU_CONV_IMPL=winograd`` to force (tests/experiments only).
+    """
     import os
 
-    if os.environ.get("SD_TPU_CONV_IMPL") == "xla":
+    if os.environ.get("SD_TPU_CONV_IMPL") != "winograd":
         return False
     if jax.devices()[0].platform != "tpu":
         return False
@@ -280,8 +294,9 @@ def winograd_supported(x_shape, w_shape, dtype) -> bool:
     if h % 2 or w % 2 or h < 16 or w < 16:
         return False
     # the relayout-free [trh, S, C] -> [trh*S, C] flatten needs S to be a
-    # multiple of the bf16 sublane tile (16); S = W/2
-    return (w // 2) % 16 == 0 and c >= 128 and k >= 128
+    # multiple of the bf16 sublane tile (16); S = W/2. c>1280 exhausts VMEM
+    # (c=1920 crashed the worker) — those skip-concat convs stay direct.
+    return (w // 2) % 16 == 0 and 128 <= c <= 1280 and k >= 128
 
 
 def winograd_conv3x3(x, w, *, trh: Optional[int] = None,

@@ -113,12 +113,16 @@ def test_conv3x3_module_drop_in():
                                atol=1e-4, rtol=1e-4)
 
 
-def test_supported_predicate():
-    # CPU test run: never claims support off-TPU
+def test_supported_predicate(monkeypatch):
+    # default: dispatch is OFF (measured in-context loss — see module doc)
+    assert not winograd_supported((16, 64, 64, 320), (3, 3, 320, 320),
+                                  jnp.bfloat16)
+    # forced on: shape gating applies (and still refuses off-TPU)
+    monkeypatch.setenv("SD_TPU_CONV_IMPL", "winograd")
     on_tpu = jax.devices()[0].platform == "tpu"
     ok = winograd_supported((16, 64, 64, 320), (3, 3, 320, 320), jnp.bfloat16)
     assert ok == on_tpu
-    # odd spatial, small spatial, fp32, non-3x3 all refused
+    # odd spatial, small spatial, fp32, non-3x3, huge-c all refused
     assert not winograd_supported((16, 63, 64, 320), (3, 3, 320, 320),
                                   jnp.bfloat16)
     assert not winograd_supported((16, 8, 8, 1280), (3, 3, 1280, 1280),
@@ -126,4 +130,6 @@ def test_supported_predicate():
     assert not winograd_supported((16, 64, 64, 320), (3, 3, 320, 320),
                                   jnp.float32)
     assert not winograd_supported((16, 64, 64, 320), (1, 1, 320, 320),
+                                  jnp.bfloat16)
+    assert not winograd_supported((16, 32, 32, 1920), (3, 3, 1920, 640),
                                   jnp.bfloat16)

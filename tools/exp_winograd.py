@@ -226,8 +226,14 @@ def timing_split():
         xb = x_ref[0]                       # [2*trh+2, W+2, C]
         c = xb.shape[-1]
         tk = u_ref.shape[-1]
-        p = {(i, j): xb[i::2, j::2, :][:trh + 1, :s + 1, :]
-             for i in (0, 1) for j in (0, 1)}
+        # row parity: free leading-dim reshape; col parity: one sublane-pair
+        # reshape (Mosaic relayout) per row-parity plane
+        xr = xb.reshape(trh + 1, 2, xb.shape[1], c)
+        p = {}
+        for i in (0, 1):
+            xi = xr[:, i].reshape(trh + 1, xb.shape[1] // 2, 2, c)
+            p[(i, 0)] = xi[:, :s + 1, 0, :]
+            p[(i, 1)] = xi[:, :s + 1, 1, :]
 
         def row_t(a):
             d = ((p[(0, 0)][:-1], p[(0, 1)][:-1]),
