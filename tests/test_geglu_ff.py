@@ -20,6 +20,17 @@ from sd_tpu.ops.pallas.geglu_ff import (
 )
 
 
+def test_erf_fast_accuracy():
+    from sd_tpu.ops.pallas.geglu_ff import _erf_fast_f32
+
+    x = jnp.linspace(-8.0, 8.0, 200001, dtype=jnp.float32)
+    got = _erf_fast_f32(x)
+    want = jax.lax.erf(x)
+    # sub-bf16-ulp: bf16 rounds at 2^-8 relative; 5e-4 absolute on erf is
+    # invisible in the kernel's bf16 outputs
+    assert float(jnp.max(jnp.abs(got - want))) < 5e-4
+
+
 def test_erf_approx_accuracy():
     x = jnp.linspace(-10.0, 10.0, 200001, dtype=jnp.float32)
     got = _erf_f32(x)

@@ -54,6 +54,19 @@ def parse_trace(logdir):
     return rows, counts
 
 
+def report(logdir, iters):
+    rows, counts = parse_trace(logdir)
+    tot = defaultdict(float)
+    n = defaultdict(int)
+    for (pname, lname, ev), ms in rows.items():
+        if "Steps" in lname or "step" == lname:
+            continue
+        tot[ev] += ms
+        n[ev] += counts[(pname, lname, ev)]
+    for ev, ms in sorted(tot.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"{ms/iters:9.4f} ms/iter  x{n[ev]:4d}  {ev[:110]}")
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "wino"
     level = sys.argv[2] if len(sys.argv) > 2 else "l0"
@@ -70,6 +83,44 @@ def main():
         @jax.jit
         def step(x):
             return winograd_conv3x3(x, w)
+    elif mode == "unet":
+        from sd_tpu.models.unet import UNetConfig, UNetModel
+
+        cfg = UNetConfig.from_dict(dict(
+            image_size=64, in_channels=4, out_channels=4, model_channels=320,
+            attention_resolutions=[4, 2, 1], num_res_blocks=2,
+            channel_mult=[1, 2, 4, 4], num_heads=8,
+            use_spatial_transformer=True, transformer_depth=1,
+            context_dim=768, legacy=False,
+        ))
+        unet = UNetModel(config=cfg, dtype=jnp.bfloat16)
+        x0 = jnp.zeros((B, 64, 64, 4), jnp.bfloat16)
+        t0 = jnp.zeros((B,), jnp.float32)
+        c0 = jnp.zeros((B, 77, 768), jnp.bfloat16)
+        shapes = jax.eval_shape(lambda kk: unet.init(kk, x0, t0, c0),
+                                jax.random.PRNGKey(0))
+        params = jax.tree.map(
+            lambda s: jnp.zeros(
+                s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+            shapes)["params"]
+
+        # in/out shapes match ([B,64,64,4]) so the step chains on itself,
+        # serializing iterations without any sync in between
+        @jax.jit
+        def step(x):
+            return unet.apply(
+                {"params": params}, x, t0, c0).astype(jnp.bfloat16)
+
+        x = x0
+        sync(step(x))
+        logdir = tempfile.mkdtemp(prefix="prof_unet_")
+        jax.profiler.start_trace(logdir)
+        for _ in range(4):
+            x = step(x)
+        sync(x)
+        jax.profiler.stop_trace()
+        report(logdir, iters=4)
+        return
     else:
         @jax.jit
         def step(x):
@@ -85,17 +136,7 @@ def main():
         x = step(x)
     sync(x)
     jax.profiler.stop_trace()
-
-    rows, counts = parse_trace(logdir)
-    tot = defaultdict(float)
-    n = defaultdict(int)
-    for (pname, lname, ev), ms in rows.items():
-        if "Steps" in lname or "step" == lname:
-            continue
-        tot[ev] += ms
-        n[ev] += counts[(pname, lname, ev)]
-    for ev, ms in sorted(tot.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"{ms/10:9.4f} ms/iter  x{n[ev]:4d}  {ev[:90]}")
+    report(logdir, iters=10)
 
 
 if __name__ == "__main__":
