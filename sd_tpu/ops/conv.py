@@ -44,7 +44,8 @@ class Conv3x3(nn.Module):
                             (3, 3, cin, self.features), jnp.float32)
         bias = self.param("bias", self.bias_init, (self.features,),
                           jnp.float32)
-        dtype = self.dtype or x.dtype
+        # dtype=None mirrors nn.Conv: promote (input, fp32 params)
+        dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
         x = x.astype(dtype)
         use_wino = self.impl == "winograd" or (
             self.impl == "auto"

@@ -16,11 +16,12 @@ This kernel computes the whole FF block per row-tile in VMEM:
     y = h @ W2 + b2          # [bm, C] written once
 
 HBM traffic drops from ~5 full-width passes to exactly one read of ``x`` and
-one write of ``y`` (plus resident weights). ``gelu`` is the exact-erf form;
-Mosaic has no ``erf`` primitive, so a two-piece f32 approximation is used
-(|x| ≤ 2: odd polynomial, degree 8 in x²; 2 < |x| ≤ 4.2: erfc = exp2-based
-tail, degree 6; clamped beyond). Max |error| vs true erf is 5.5e-7 — three
-orders of magnitude below bf16 output rounding (validated in
+one write of ``y`` (plus resident weights). ``gelu`` is the exact-erf form
+(Mosaic has no ``erf`` primitive) with a dtype-dependent polynomial:
+fp32 inputs use a two-piece approximation with max |err| 5.5e-7; the bf16
+production path uses a single-piece degree-6 fit with max |err| 3.6e-4 —
+still below bf16 output rounding (2^-8 relative) and ~45% fewer VPU ops,
+a measured -2.7 ms/step on the gate's 735M elements (validated in
 tests/test_geglu_ff.py).
 
 Differentiation: ``custom_vjp`` whose backward recomputes through a plain-XLA

@@ -207,7 +207,9 @@ def _wino_pallas(x, u, *, trh: Optional[int] = None,
 
     # cache V across cout tiles only when the scratch fits comfortably —
     # a 15.7 MB scratch at c=1920 crashed the TPU worker (VMEM blowup)
-    use_scratch = k // tk > 1 and 16 * trh * s * c * 2 <= 4 * 1024 * 1024
+    use_scratch = (k // tk > 1
+                   and 16 * trh * s * c * x.dtype.itemsize
+                   <= 4 * 1024 * 1024)
     flops = 2 * b * r * s * 16 * c * k
     out = pl.pallas_call(
         functools.partial(_kernel, s=s, trh=trh, interleave=interleave,
@@ -292,6 +294,9 @@ def winograd_supported(x_shape, w_shape, dtype) -> bool:
     _, h, w, c = x_shape
     k = w_shape[3]
     if h % 2 or w % 2 or h < 16 or w < 16:
+        return False
+    # row grouping needs trh | (h//2): trh = h//2 when it fits (<=16), else 8
+    if h // 2 > 16 and (h // 2) % 8:
         return False
     # the relayout-free [trh, S, C] -> [trh*S, C] flatten needs S to be a
     # multiple of the bf16 sublane tile (16); S = W/2. c>1280 exhausts VMEM

@@ -70,8 +70,7 @@ def test_weight_transform_shape_and_identity():
     # sum); check via the full transform on a small input
     x = _rand(jax.random.PRNGKey(3), (1, 16, 32, 8))
     got = winograd_conv3x3(x, wgt, interpret=True)
-    want = jnp.repeat(x.sum(-1, keepdims=True), 16, axis=-1) * 0 + \
-        jnp.einsum("bhwc,ck->bhwk", x, jnp.ones((8, 16)))
+    want = jnp.einsum("bhwc,ck->bhwk", x, jnp.ones((8, 16)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
 
@@ -115,6 +114,7 @@ def test_conv3x3_module_drop_in():
 
 def test_supported_predicate(monkeypatch):
     # default: dispatch is OFF (measured in-context loss — see module doc)
+    monkeypatch.delenv("SD_TPU_CONV_IMPL", raising=False)
     assert not winograd_supported((16, 64, 64, 320), (3, 3, 320, 320),
                                   jnp.bfloat16)
     # forced on: shape gating applies (and still refuses off-TPU)
@@ -132,4 +132,7 @@ def test_supported_predicate(monkeypatch):
     assert not winograd_supported((16, 64, 64, 320), (1, 1, 320, 320),
                                   jnp.bfloat16)
     assert not winograd_supported((16, 32, 32, 1920), (3, 3, 1920, 640),
+                                  jnp.bfloat16)
+    # h//2 > 16 and not divisible by the trh=8 row tile
+    assert not winograd_supported((16, 36, 64, 320), (3, 3, 320, 320),
                                   jnp.bfloat16)

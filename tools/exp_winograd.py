@@ -43,11 +43,9 @@ LEVELS = [
 
 
 def weight_transform(w):
-    """w [3,3,Cin,Cout] -> U [16, Cin, Cout] = (G w G^T) per channel pair."""
-    g = jnp.array([[1, 0, 0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0, 0, 1]],
-                  jnp.float32)
-    u = jnp.einsum("ai,bj,ijco->abco", g, g, w.astype(jnp.float32))
-    return u.reshape(16, w.shape[2], w.shape[3])
+    """w [3,3,Cin,Cout] -> U [16, Cin, Cout] (shared with the kernel)."""
+    from sd_tpu.ops.pallas.winograd_conv import weight_transform as wt
+    return wt(w)
 
 
 def winograd_conv3x3(x, w, compute_dtype=None):
