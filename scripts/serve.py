@@ -1,0 +1,222 @@
+"""Persistent txt2img serving daemon (warm-jit, fixed serving shape).
+
+The reference repo has no serving story beyond one-shot CLIs; on TPU the
+expensive part of a request is the program compile, so a production server
+must pin ONE serving configuration (resolution, steps, sampler, batch) at
+startup, compile once, and keep the program warm. This daemon does exactly
+that:
+
+    python scripts/serve.py --tiny --stdio            # JSONL on stdin/stdout
+    python scripts/serve.py --http 8000 --ckpt ...    # stdlib HTTP endpoint
+
+Requests are JSON objects: {"prompt": "...", "seed": 1234, "n": 1}
+(``n`` up to --max-batch; the fixed-batch program is padded so every
+request hits the same compiled executable). Responses carry the written
+PNG paths plus safety-checker flags. Safety checker + invisible watermark
+run by default, matching the reference output contract
+(``scripts/txt2img.py:69-95,317-343``).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--stdio", action="store_true",
+                   help="serve JSONL requests on stdin, responses on stdout")
+    p.add_argument("--http", type=int, default=0, metavar="PORT",
+                   help="serve HTTP POST /txt2img on this port")
+    p.add_argument("--outdir", type=str, default="outputs/serve")
+    p.add_argument("--H", "--height", dest="H", type=int, default=512)
+    p.add_argument("--W", "--width", dest="W", type=int, default=512)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--sampler", choices=["plms", "ddim", "dpm"],
+                   default="plms")
+    p.add_argument("--scale", type=float, default=7.5)
+    p.add_argument("--max-batch", dest="max_batch", type=int, default=1,
+                   help="fixed serving batch; requests are padded to it")
+    p.add_argument("--config", type=str,
+                   default="configs/stable-diffusion/v1-inference.yaml")
+    p.add_argument("--ckpt", type=str)
+    p.add_argument("--tiny", action="store_true",
+                   help="bundled tiny random-weight model (testing)")
+    p.add_argument("--no-warmup", dest="warmup", action="store_false",
+                   help="skip the compile-warming request at startup")
+    p.add_argument("--no-watermark", dest="watermark", action="store_false")
+    p.add_argument("--no-safety", dest="safety", action="store_false")
+    p.add_argument("--safety_ckpt", type=str)
+    return p.parse_args()
+
+
+def build_pipeline(opt):
+    import jax
+
+    if os.environ.get("SD_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["SD_TPU_PLATFORM"])
+
+    from sd_tpu.data.tokenizer import HashTokenizer
+    from sd_tpu.pipelines.txt2img import Txt2ImgPipeline
+    from sd_tpu.utils.config import build_latent_diffusion, load_yaml
+
+    rng = jax.random.PRNGKey(0)
+    if opt.tiny:
+        from sd_tpu.utils.testing import tiny_sd_model_config
+
+        ldm = build_latent_diffusion(tiny_sd_model_config(), rng=rng)
+        tok = HashTokenizer(64)
+        pipe = Txt2ImgPipeline(
+            ldm=ldm, tokenizer=lambda t: tok(t, context_length=8),
+            downsample=2)
+        opt.H, opt.W = min(opt.H, 64), min(opt.W, 64)
+    else:
+        cfg = load_yaml(opt.config)
+        state_dict = None
+        if opt.ckpt:
+            from sd_tpu.utils.port import load_torch_state_dict
+
+            state_dict = load_torch_state_dict(opt.ckpt)
+        ldm = build_latent_diffusion(cfg["model"], rng=rng,
+                                     state_dict=state_dict,
+                                     init_params=state_dict is None)
+        bpe = os.environ.get("SD_TPU_BPE_VOCAB")
+        if bpe:
+            from sd_tpu.data.tokenizer import CLIPTokenizer
+
+            tokenizer = CLIPTokenizer.from_openai_gz(bpe)
+        elif state_dict is not None:
+            raise SystemExit(
+                "real checkpoint but no SD_TPU_BPE_VOCAB set — refusing "
+                "(hash tokenizer would silently garble conditioning)")
+        else:
+            tokenizer = HashTokenizer()
+        pipe = Txt2ImgPipeline(ldm=ldm, tokenizer=tokenizer)
+
+    if opt.safety:
+        from sd_tpu.pipelines.safety import SafetyChecker, port_safety_checker
+
+        if opt.safety_ckpt:
+            from sd_tpu.utils.port import load_torch_state_dict
+
+            pipe.safety_checker = port_safety_checker(
+                load_torch_state_dict(opt.safety_ckpt))
+        else:
+            pipe.safety_checker = SafetyChecker.untrained(
+                jax.random.PRNGKey(0))
+    if opt.watermark and min(opt.H, opt.W) >= 32:
+        from sd_tpu.utils.watermark import embed_watermark
+
+        pipe.watermarker = embed_watermark
+    return pipe
+
+
+class Server:
+    """Fixed-shape warm server around Txt2ImgPipeline."""
+
+    def __init__(self, opt):
+        import jax
+
+        self.opt = opt
+        self.pipe = build_pipeline(opt)
+        self.jax = jax
+        self.count = 0
+        os.makedirs(opt.outdir, exist_ok=True)
+        if opt.warmup:
+            t0 = time.perf_counter()
+            self._generate(["warmup"] * opt.max_batch, seed=0)
+            print(f"serve: warm (compile+first batch "
+                  f"{time.perf_counter() - t0:.1f}s)", file=sys.stderr,
+                  flush=True)
+
+    def _generate(self, prompts, seed):
+        opt = self.opt
+        return self.pipe(
+            prompts, self.jax.random.PRNGKey(seed), height=opt.H,
+            width=opt.W, steps=opt.steps, guidance_scale=opt.scale,
+            sampler=opt.sampler)
+
+    def handle(self, req: dict) -> dict:
+        from sd_tpu.utils.image import save_image
+
+        prompt = req.get("prompt", "")
+        n = max(1, min(int(req.get("n", 1)), self.opt.max_batch))
+        seed = int(req.get("seed", 42))
+        # pad to the fixed batch so every request reuses the compiled program
+        prompts = ([prompt] * n
+                   + [""] * (self.opt.max_batch - n))
+        t0 = time.perf_counter()
+        imgs = self._generate(prompts, seed)[:n]
+        dt = time.perf_counter() - t0
+        paths = []
+        for img in imgs:
+            path = os.path.join(self.opt.outdir, f"{self.count:06}.png")
+            save_image(img, path)
+            paths.append(path)
+            self.count += 1
+        flags = []
+        if getattr(self.pipe, "last_safety_flags", None) is not None:
+            flags = [bool(f) for f in self.pipe.last_safety_flags[:n]]
+        return {"ok": True, "paths": paths, "seconds": round(dt, 3),
+                "safety_flagged": flags}
+
+
+def serve_stdio(server):
+    print("serve: ready", file=sys.stderr, flush=True)
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        if line == "quit":
+            break
+        try:
+            req = json.loads(line)
+            resp = server.handle(req)
+        except Exception as e:  # noqa: BLE001 — protocol boundary
+            resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(resp), flush=True)
+
+
+def serve_http(server, port):
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            if self.path != "/txt2img":
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                req = json.loads(self.rfile.read(length) or b"{}")
+                resp = server.handle(req)
+            except Exception as e:  # noqa: BLE001 — protocol boundary
+                resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+            body = json.dumps(resp).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    print(f"serve: http on :{port}", file=sys.stderr, flush=True)
+    HTTPServer(("127.0.0.1", port), Handler).serve_forever()
+
+
+def main():
+    opt = parse_args()
+    server = Server(opt)
+    if opt.http:
+        serve_http(server, opt.http)
+    else:
+        serve_stdio(server)
+
+
+if __name__ == "__main__":
+    main()

@@ -133,8 +133,23 @@ def _kernel(x_ref, w1a_ref, w1g_ref, b1a_ref, b1g_ref, w2_ref, b2_ref,
 _BM_BY_INNER = {1280: 1024, 2560: 256, 5120: 512}
 
 
+def _bm_table():
+    """``SD_TPU_FF_BM=\"1280:512,2560:512\"`` overrides the measured block_m
+    table for in-context sweeps (tools/profile_op.py)."""
+    import os
+
+    env = os.environ.get("SD_TPU_FF_BM")
+    if not env:
+        return _BM_BY_INNER
+    table = dict(_BM_BY_INNER)
+    for part in env.split(","):
+        k, v = part.split(":")
+        table[int(k)] = int(v)
+    return table
+
+
 def _block_m(m: int, inner: int, block_m: Optional[int]) -> int:
-    bm = (block_m or _BM_BY_INNER.get(inner)
+    bm = (block_m or _bm_table().get(inner)
           or min(_MAX_BLOCK_M, _ACC_VMEM_BYTES // (8 * inner)))
     bm = max(min(bm, m), 8)
     while m % bm:

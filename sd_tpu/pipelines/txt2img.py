@@ -110,7 +110,10 @@ class Txt2ImgPipeline:
         images = np.asarray(jax.device_get(images))
         images_u8 = (images * 255.0 + 0.5).astype(np.uint8)
         if self.safety_checker is not None:
-            images_u8, _ = self.safety_checker(images_u8)
+            images_u8, flags = self.safety_checker(images_u8)
+            # per-image flags kept for callers that report them (serve.py);
+            # flagged images are already replaced by the checker contract
+            self.last_safety_flags = list(map(bool, flags))
         if self.watermarker is not None:
             images_u8 = np.stack([self.watermarker(im) for im in images_u8])
         return images_u8

@@ -97,3 +97,30 @@ def test_knn2img_cli_with_index(tmp_path):
              "--outdir", str(tmp_path / "out")])
     outs = list((tmp_path / "out").rglob("*.png"))
     assert outs, "knn2img wrote no samples"
+
+
+def test_serve_stdio(tmp_path):
+    """Warm-jit serving daemon: two JSONL requests through one fixed-shape
+    compiled program (scripts/serve.py)."""
+    import json
+
+    proc = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--tiny", "--stdio",
+         "--steps", "2", "--max-batch", "2",
+         "--outdir", str(tmp_path / "serve")],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, cwd=REPO, env=ENV,
+    )
+    reqs = [{"prompt": "a red fox", "seed": 7, "n": 2},
+            {"prompt": "a blue bird", "seed": 8}]
+    inp = "\n".join(json.dumps(r) for r in reqs) + "\nquit\n"
+    out, err = proc.communicate(inp, timeout=540)
+    assert proc.returncode == 0, err[-1500:]
+    lines = [json.loads(l) for l in out.strip().splitlines()]
+    assert len(lines) == 2
+    assert lines[0]["ok"] and len(lines[0]["paths"]) == 2
+    assert lines[1]["ok"] and len(lines[1]["paths"]) == 1
+    assert lines[0]["safety_flagged"] == [False, False]
+    for r in lines:
+        for p in r["paths"]:
+            assert os.path.exists(p)
