@@ -107,3 +107,19 @@ def test_geglu_ff_parity_on_tpu():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=3e-2, rtol=3e-2)
+
+
+def test_winograd_conv_parity_on_tpu(monkeypatch):
+    """Forced Winograd kernel vs the direct conv ON the chip (dispatch is
+    off by default — measured in-context loss — but the kernel must stay
+    correct for future revisits)."""
+    from sd_tpu.ops.pallas.winograd_conv import _direct_conv, winograd_conv3x3
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, 32, 32, 320), jnp.bfloat16)
+    w = jax.random.normal(key, (3, 3, 320, 320), jnp.float32) * 0.02
+    got = np.asarray(jax.jit(lambda x: winograd_conv3x3(x, w))(x),
+                     np.float32)
+    want = np.asarray(_direct_conv(x, w), np.float32)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 0.05 * max(scale, 1.0)
