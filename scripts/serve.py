@@ -9,7 +9,8 @@ that:
     python scripts/serve.py --tiny --stdio            # JSONL on stdin/stdout
     python scripts/serve.py --http 8000 --ckpt ...    # stdlib HTTP endpoint
 
-Requests are JSON objects: {"prompt": "...", "seed": 1234, "n": 1}
+Requests are JSON objects:
+{"prompt": "...", "seed": 1234, "n": 1, "negative_prompt": "..."}
 (``n`` up to --max-batch; the fixed-batch program is padded so every
 request hits the same compiled executable). Responses carry the written
 PNG paths plus safety-checker flags. Safety checker + invisible watermark
@@ -133,10 +134,12 @@ class Server:
                   f"{time.perf_counter() - t0:.1f}s)", file=sys.stderr,
                   flush=True)
 
-    def _generate(self, prompts, seed):
+    def _generate(self, prompts, seed, negative=None):
         opt = self.opt
+        neg = [negative or ""] * len(prompts) if negative else None
         return self.pipe(
-            prompts, self.jax.random.PRNGKey(seed), height=opt.H,
+            prompts, self.jax.random.PRNGKey(seed),
+            negative_prompts=neg, height=opt.H,
             width=opt.W, steps=opt.steps, guidance_scale=opt.scale,
             sampler=opt.sampler)
 
@@ -150,7 +153,9 @@ class Server:
         prompts = ([prompt] * n
                    + [""] * (self.opt.max_batch - n))
         t0 = time.perf_counter()
-        imgs = self._generate(prompts, seed)[:n]
+        # negative_prompt changes conditioning DATA only — no recompile
+        imgs = self._generate(prompts, seed,
+                              negative=req.get("negative_prompt"))[:n]
         dt = time.perf_counter() - t0
         paths = []
         for img in imgs:
