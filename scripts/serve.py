@@ -56,63 +56,16 @@ def parse_args():
 
 
 def build_pipeline(opt):
-    import jax
+    from sd_tpu.pipelines.build import build_txt2img_pipeline
 
-    if os.environ.get("SD_TPU_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["SD_TPU_PLATFORM"])
-
-    from sd_tpu.data.tokenizer import HashTokenizer
-    from sd_tpu.pipelines.txt2img import Txt2ImgPipeline
-    from sd_tpu.utils.config import build_latent_diffusion, load_yaml
-
-    rng = jax.random.PRNGKey(0)
-    if opt.tiny:
-        from sd_tpu.utils.testing import tiny_sd_model_config
-
-        ldm = build_latent_diffusion(tiny_sd_model_config(), rng=rng)
-        tok = HashTokenizer(64)
-        pipe = Txt2ImgPipeline(
-            ldm=ldm, tokenizer=lambda t: tok(t, context_length=8),
-            downsample=2)
-        opt.H, opt.W = min(opt.H, 64), min(opt.W, 64)
-    else:
-        cfg = load_yaml(opt.config)
-        state_dict = None
-        if opt.ckpt:
-            from sd_tpu.utils.port import load_torch_state_dict
-
-            state_dict = load_torch_state_dict(opt.ckpt)
-        ldm = build_latent_diffusion(cfg["model"], rng=rng,
-                                     state_dict=state_dict,
-                                     init_params=state_dict is None)
-        bpe = os.environ.get("SD_TPU_BPE_VOCAB")
-        if bpe:
-            from sd_tpu.data.tokenizer import CLIPTokenizer
-
-            tokenizer = CLIPTokenizer.from_openai_gz(bpe)
-        elif state_dict is not None:
-            raise SystemExit(
-                "real checkpoint but no SD_TPU_BPE_VOCAB set — refusing "
-                "(hash tokenizer would silently garble conditioning)")
-        else:
-            tokenizer = HashTokenizer()
-        pipe = Txt2ImgPipeline(ldm=ldm, tokenizer=tokenizer)
-
-    if opt.safety:
-        from sd_tpu.pipelines.safety import SafetyChecker, port_safety_checker
-
-        if opt.safety_ckpt:
-            from sd_tpu.utils.port import load_torch_state_dict
-
-            pipe.safety_checker = port_safety_checker(
-                load_torch_state_dict(opt.safety_ckpt))
-        else:
-            pipe.safety_checker = SafetyChecker.untrained(
-                jax.random.PRNGKey(0))
-    if opt.watermark and min(opt.H, opt.W) >= 32:
-        from sd_tpu.utils.watermark import embed_watermark
-
-        pipe.watermarker = embed_watermark
+    # watermark applied in Server.handle AFTER slicing off batch padding
+    # (host-side DWT on discarded pad images is pure waste)
+    pipe, tiny_hw = build_txt2img_pipeline(
+        tiny=opt.tiny, config=opt.config, ckpt=opt.ckpt,
+        safety=opt.safety, safety_ckpt=opt.safety_ckpt,
+        watermark=False, min_hw=min(opt.H, opt.W))
+    if tiny_hw:
+        opt.H, opt.W = min(opt.H, tiny_hw), min(opt.W, tiny_hw)
     return pipe
 
 
@@ -125,8 +78,11 @@ class Server:
         self.opt = opt
         self.pipe = build_pipeline(opt)
         self.jax = jax
-        self.count = 0
+        self.watermark = (opt.watermark and min(opt.H, opt.W) >= 32)
         os.makedirs(opt.outdir, exist_ok=True)
+        # continue numbering after any previous run's images (restart must
+        # not clobber paths already handed to clients)
+        self.count = len(os.listdir(opt.outdir))
         if opt.warmup:
             t0 = time.perf_counter()
             self._generate(["warmup"] * opt.max_batch, seed=0)
@@ -136,7 +92,7 @@ class Server:
 
     def _generate(self, prompts, seed, negative=None):
         opt = self.opt
-        neg = [negative or ""] * len(prompts) if negative else None
+        neg = [negative] * len(prompts) if negative else None
         return self.pipe(
             prompts, self.jax.random.PRNGKey(seed),
             negative_prompts=neg, height=opt.H,
@@ -157,6 +113,10 @@ class Server:
         imgs = self._generate(prompts, seed,
                               negative=req.get("negative_prompt"))[:n]
         dt = time.perf_counter() - t0
+        if self.watermark:
+            from sd_tpu.utils.watermark import embed_watermark
+
+            imgs = [embed_watermark(im) for im in imgs]
         paths = []
         for img in imgs:
             path = os.path.join(self.opt.outdir, f"{self.count:06}.png")
@@ -194,8 +154,8 @@ def serve_http(server, port):
             if self.path != "/txt2img":
                 self.send_error(404)
                 return
-            length = int(self.headers.get("Content-Length", 0))
             try:
+                length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 resp = server.handle(req)
             except Exception as e:  # noqa: BLE001 — protocol boundary

@@ -64,70 +64,21 @@ def main():
     if os.environ.get("SD_TPU_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["SD_TPU_PLATFORM"])
 
-    from sd_tpu.data.tokenizer import HashTokenizer
-    from sd_tpu.pipelines.txt2img import Txt2ImgPipeline
-    from sd_tpu.utils.config import build_latent_diffusion, load_yaml
+    from sd_tpu.pipelines.build import build_txt2img_pipeline
     from sd_tpu.utils.image import save_grid, save_image
 
     rng = jax.random.PRNGKey(opt.seed)
 
-    if opt.tiny:
-        from sd_tpu.utils.testing import tiny_sd_model_config
-
-        ldm = build_latent_diffusion(tiny_sd_model_config(), rng=rng)
-        tok = HashTokenizer(64)
-        pipe = Txt2ImgPipeline(ldm=ldm, tokenizer=lambda t: tok(t, context_length=8),
-                               downsample=2)
-        opt.H, opt.W = min(opt.H, 64), min(opt.W, 64)
-    else:
-        cfg = load_yaml(opt.config)
-        state_dict = None
-        if opt.ckpt:
-            from sd_tpu.utils.port import load_torch_state_dict
-
-            print(f"Loading state dict from {opt.ckpt}")
-            state_dict = load_torch_state_dict(opt.ckpt)
-        ldm = build_latent_diffusion(cfg["model"], rng=rng,
-                                     state_dict=state_dict,
-                                     init_params=state_dict is None)
-        bpe = os.environ.get("SD_TPU_BPE_VOCAB")
-        if bpe:
-            from sd_tpu.data.tokenizer import CLIPTokenizer
-
-            tokenizer = CLIPTokenizer.from_openai_gz(bpe)
-        elif state_dict is not None:
-            # A real checkpoint with the debug HashTokenizer would silently
-            # produce garbage conditioning — refuse instead.
-            raise SystemExit(
-                "Loaded a real checkpoint but no BPE vocab is configured: "
-                "set SD_TPU_BPE_VOCAB to the CLIP merges file "
-                "(bpe_simple_vocab_16e6.txt.gz). The hash tokenizer is only "
-                "valid for random-weight (--tiny/debug) runs."
-            )
-        else:
-            tokenizer = HashTokenizer()
-        pipe = Txt2ImgPipeline(ldm=ldm, tokenizer=tokenizer, latent_channels=opt.C,
-                               downsample=opt.f)
-
-    # Safety checker + invisible watermark: applied by default on every run
-    # through the pipeline's native postprocess hooks, matching the
-    # reference's output contract (txt2img.py:69-95,317-343).
-    if opt.safety:
-        from sd_tpu.pipelines.safety import SafetyChecker, port_safety_checker
-
-        if opt.safety_ckpt:
-            from sd_tpu.utils.port import load_torch_state_dict
-
-            pipe.safety_checker = port_safety_checker(
-                load_torch_state_dict(opt.safety_ckpt))
-        else:
-            print("safety checker: no --safety_ckpt given — running with "
-                  "unreachable thresholds (scores computed, nothing flagged)")
-            pipe.safety_checker = SafetyChecker.untrained(jax.random.PRNGKey(0))
-    if opt.watermark and min(opt.H, opt.W) >= 32:  # DWT capacity floor
-        from sd_tpu.utils.watermark import embed_watermark
-
-        pipe.watermarker = embed_watermark  # payload "StableDiffusionV1"
+    # Safety checker + invisible watermark: applied by default through the
+    # pipeline's native postprocess hooks, matching the reference's output
+    # contract (txt2img.py:69-95,317-343).
+    pipe, tiny_hw = build_txt2img_pipeline(
+        tiny=opt.tiny, config=opt.config, ckpt=opt.ckpt,
+        safety=opt.safety, safety_ckpt=opt.safety_ckpt,
+        watermark=opt.watermark, min_hw=min(opt.H, opt.W),
+        latent_channels=opt.C, downsample=opt.f, seed=opt.seed)
+    if tiny_hw:
+        opt.H, opt.W = min(opt.H, tiny_hw), min(opt.W, tiny_hw)
 
     sampler = "dpm" if opt.dpm_solver else ("plms" if opt.plms else "ddim")
     if opt.from_file:

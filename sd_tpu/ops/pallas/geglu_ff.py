@@ -143,8 +143,16 @@ def _bm_table():
         return _BM_BY_INNER
     table = dict(_BM_BY_INNER)
     for part in env.split(","):
-        k, v = part.split(":")
-        table[int(k)] = int(v)
+        part = part.strip()
+        if not part:
+            continue
+        try:
+            k, v = part.split(":")
+            table[int(k)] = int(v)
+        except ValueError as e:
+            raise ValueError(
+                f"malformed SD_TPU_FF_BM entry {part!r} "
+                f"(expected inner:block_m, e.g. 1280:512)") from e
     return table
 
 

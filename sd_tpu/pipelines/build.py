@@ -1,0 +1,110 @@
+"""Shared txt2img pipeline construction for the CLI entry points.
+
+`scripts/txt2img.py` and `scripts/serve.py` build the same stack: model
+(tiny or YAML config + optional torch checkpoint), tokenizer (in-repo BPE
+via ``SD_TPU_BPE_VOCAB``, hard refusal on real-checkpoint + hash-tokenizer
+combos), safety checker and invisible watermark (on by default — the
+reference output contract, ``scripts/txt2img.py:69-95,317-343``). One
+builder keeps the two CLIs from diverging.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Optional
+
+__all__ = ["build_txt2img_pipeline"]
+
+
+def build_txt2img_pipeline(
+    *,
+    tiny: bool = False,
+    config: Optional[str] = None,
+    ckpt: Optional[str] = None,
+    safety: bool = True,
+    safety_ckpt: Optional[str] = None,
+    watermark: bool = True,
+    min_hw: int = 512,
+    latent_channels: int = 4,
+    downsample: int = 8,
+    seed: int = 0,
+):
+    """Build a ready Txt2ImgPipeline. Returns (pipe, clamped_tiny_hw).
+
+    ``min_hw`` is min(H, W) of the serving/sampling resolution — used only
+    to gate the watermark's DWT capacity floor. ``clamped_tiny_hw`` is 64
+    when ``tiny`` (callers clamp their H/W), else None.
+    """
+    import jax
+
+    if os.environ.get("SD_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["SD_TPU_PLATFORM"])
+
+    from sd_tpu.data.tokenizer import HashTokenizer
+    from sd_tpu.pipelines.txt2img import Txt2ImgPipeline
+    from sd_tpu.utils.config import build_latent_diffusion, load_yaml
+
+    rng = jax.random.PRNGKey(seed)
+    tiny_hw = None
+    if tiny:
+        from sd_tpu.utils.testing import tiny_sd_model_config
+
+        ldm = build_latent_diffusion(tiny_sd_model_config(), rng=rng)
+        tok = HashTokenizer(64)
+        pipe = Txt2ImgPipeline(
+            ldm=ldm, tokenizer=lambda t: tok(t, context_length=8),
+            downsample=2)
+        tiny_hw = 64
+    else:
+        cfg = load_yaml(config)
+        state_dict = None
+        if ckpt:
+            from sd_tpu.utils.port import load_torch_state_dict
+
+            print(f"Loading state dict from {ckpt}", file=sys.stderr)
+            state_dict = load_torch_state_dict(ckpt)
+        ldm = build_latent_diffusion(cfg["model"], rng=rng,
+                                     state_dict=state_dict,
+                                     init_params=state_dict is None)
+        bpe = os.environ.get("SD_TPU_BPE_VOCAB")
+        if bpe:
+            from sd_tpu.data.tokenizer import CLIPTokenizer
+
+            tokenizer = CLIPTokenizer.from_openai_gz(bpe)
+        elif state_dict is not None:
+            # A real checkpoint with the debug HashTokenizer would silently
+            # produce garbage conditioning — refuse instead.
+            raise SystemExit(
+                "Loaded a real checkpoint but no BPE vocab is configured: "
+                "set SD_TPU_BPE_VOCAB to the CLIP merges file "
+                "(bpe_simple_vocab_16e6.txt.gz). The hash tokenizer is only "
+                "valid for random-weight (--tiny/debug) runs."
+            )
+        else:
+            tokenizer = HashTokenizer()
+        pipe = Txt2ImgPipeline(ldm=ldm, tokenizer=tokenizer,
+                               latent_channels=latent_channels,
+                               downsample=downsample)
+
+    if safety:
+        from sd_tpu.pipelines.safety import SafetyChecker, port_safety_checker
+
+        safety_ckpt = safety_ckpt or os.environ.get("SD_TPU_SAFETY_CKPT")
+        if safety_ckpt:
+            from sd_tpu.utils.port import load_torch_state_dict
+
+            pipe.safety_checker = port_safety_checker(
+                load_torch_state_dict(safety_ckpt))
+        else:
+            print("safety checker: no safety ckpt given — running with "
+                  "unreachable thresholds (scores computed, nothing flagged)",
+                  file=sys.stderr)
+            pipe.safety_checker = SafetyChecker.untrained(
+                jax.random.PRNGKey(0))
+    effective_hw = min(min_hw, 64) if tiny else min_hw
+    if watermark and effective_hw >= 32:  # DWT capacity floor
+        from sd_tpu.utils.watermark import embed_watermark
+
+        pipe.watermarker = embed_watermark  # payload "StableDiffusionV1"
+    return pipe, tiny_hw

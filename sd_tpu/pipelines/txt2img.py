@@ -96,6 +96,7 @@ class Txt2ImgPipeline:
         x_T=None,
     ) -> np.ndarray:
         """Returns uint8 images [B, H, W, 3]."""
+        self.last_safety_flags = None  # reset: no stale flags across calls
         prompts = list(prompts)
         cond = self.encode_prompts(prompts)
         uncond = None

@@ -237,7 +237,8 @@ def test_txt2img_cli_applies_safety_and_watermark(tmp_path):
         env=env,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "safety checker" in proc.stdout  # applied (untrained thresholds)
+    # applied (untrained thresholds); diagnostic goes to stderr
+    assert "safety checker" in (proc.stdout + proc.stderr)
     from PIL import Image
 
     from sd_tpu.utils.watermark import WATERMARK_PAYLOAD, decode_watermark

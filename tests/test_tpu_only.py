@@ -109,7 +109,7 @@ def test_geglu_ff_parity_on_tpu():
         atol=3e-2, rtol=3e-2)
 
 
-def test_winograd_conv_parity_on_tpu(monkeypatch):
+def test_winograd_conv_parity_on_tpu():
     """Forced Winograd kernel vs the direct conv ON the chip (dispatch is
     off by default — measured in-context loss — but the kernel must stay
     correct for future revisits)."""
