@@ -47,9 +47,44 @@ class Txt2ImgPipeline:
     latent_channels: int = 4
     downsample: int = 8
 
+    # --- compiled-program cache -------------------------------------------
+    # The samplers are eager `lax.scan` programs whose closures capture fresh
+    # constants (schedule tables, conditioning) every call — without caching,
+    # EVERY pipeline call recompiles (~15 s/request through the TPU tunnel,
+    # measured via scripts/serve.py). Each distinct static configuration
+    # (sampler, resolution, steps, scale, eta, arg presence) compiles once;
+    # conditioning/rng/x_T flow in as traced arguments.
+
+    def _get_jit(self, key, builder):
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if key not in cache:
+            cache[key] = builder()
+        return cache[key]
+
+    def _make_sample_jit(self, sampler, height, width, steps, scale, eta,
+                         has_uncond, has_xt):
+        def run(cond, uncond, rng, x_T):
+            return self.sample_latents(
+                cond, uncond, rng, height=height, width=width, steps=steps,
+                guidance_scale=scale, sampler=sampler, eta=eta, x_T=x_T)
+
+        if has_uncond and has_xt:
+            f = jax.jit(run)
+            return lambda c, u, r, x: f(c, u, r, x)
+        if has_uncond:
+            f = jax.jit(lambda c, u, r: run(c, u, r, None))
+            return lambda c, u, r, x: f(c, u, r)
+        if has_xt:
+            f = jax.jit(lambda c, r, x: run(c, None, r, x))
+            return lambda c, u, r, x: f(c, r, x)
+        f = jax.jit(lambda c, r: run(c, None, r, None))
+        return lambda c, u, r, x: f(c, r)
+
     def encode_prompts(self, prompts: Sequence[str]) -> jnp.ndarray:
         tokens = jnp.asarray(self.tokenizer(list(prompts)))
-        return self.ldm.get_learned_conditioning(tokens)
+        encode = self._get_jit(
+            "encode", lambda: jax.jit(self.ldm.get_learned_conditioning))
+        return encode(tokens)
 
     def sample_latents(
         self,
@@ -103,11 +138,17 @@ class Txt2ImgPipeline:
         if guidance_scale != 1.0:
             neg = negative_prompts if negative_prompts is not None else [""] * len(prompts)
             uncond = self.encode_prompts(list(neg))
-        z = self.sample_latents(
-            cond, uncond, rng, height=height, width=width, steps=steps,
-            guidance_scale=guidance_scale, sampler=sampler, eta=eta, x_T=x_T,
-        )
-        images = latents_to_images(self.ldm, z)
+        skey = ("sample", sampler, height, width, steps,
+                float(guidance_scale), float(eta), uncond is not None,
+                x_T is not None)
+        sample = self._get_jit(skey, lambda: self._make_sample_jit(
+            sampler, height, width, steps, guidance_scale, eta,
+            uncond is not None, x_T is not None))
+        z = sample(cond, uncond, rng, x_T)
+        decode = self._get_jit(
+            "decode", lambda: jax.jit(
+                lambda z: latents_to_images(self.ldm, z)))
+        images = decode(z)
         images = np.asarray(jax.device_get(images))
         images_u8 = (images * 255.0 + 0.5).astype(np.uint8)
         if self.safety_checker is not None:
