@@ -69,10 +69,11 @@ class Img2ImgPipeline:
         prompts = list(prompts)
         b = len(prompts)
 
+        from sd_tpu.pipelines._jit import cached_jit
+
         rng, k_enc, k_noise, k_dec = jax.random.split(rng, 4)
         x = jnp.asarray(preprocess_image(init_image))
         x = jnp.tile(x, (b, 1, 1, 1))
-        init_latent = ldm.encode_to_latent(x, rng=k_enc)
 
         cond = self.base.encode_prompts(prompts)
         uncond = self.base.encode_prompts(
@@ -80,18 +81,29 @@ class Img2ImgPipeline:
         )
 
         t_enc = int(strength * steps)  # img2img.py:239-241
-        if t_enc == 0:
-            z = init_latent
-        else:
-            z_enc = ddim_stochastic_encode(
-                ldm.schedule, init_latent, t_enc - 1, k_noise, num_steps=steps
-            )
-            z = ddim_decode(
-                ldm.apply_model, ldm.schedule, z_enc, cond, t_enc,
-                num_steps=steps, uncond=uncond, guidance_scale=guidance_scale,
-                rng=k_dec,
-            )
-        images = np.asarray(jax.device_get(latents_to_images(ldm, z)))
+        # one compiled program per (steps, t_enc, scale): VAE encode ->
+        # stochastic encode -> DDIM decode -> image decode
+        key = ("img2img", steps, t_enc, float(guidance_scale))
+
+        def build():
+            def run(x, cond, uncond, k_enc, k_noise, k_dec):
+                init_latent = ldm.encode_to_latent(x, rng=k_enc)
+                if t_enc == 0:
+                    return latents_to_images(ldm, init_latent)
+                z_enc = ddim_stochastic_encode(
+                    ldm.schedule, init_latent, t_enc - 1, k_noise,
+                    num_steps=steps)
+                z = ddim_decode(
+                    ldm.apply_model, ldm.schedule, z_enc, cond, t_enc,
+                    num_steps=steps, uncond=uncond,
+                    guidance_scale=guidance_scale, rng=k_dec)
+                return latents_to_images(ldm, z)
+
+            return jax.jit(run)
+
+        images = np.asarray(jax.device_get(
+            cached_jit(self, key, build)(x, cond, uncond, k_enc, k_noise,
+                                         k_dec)))
         return (images * 255.0 + 0.5).astype(np.uint8)
 
 
@@ -119,17 +131,28 @@ class InpaintPipeline:
         m_full = m_full[:, : img.shape[1], : img.shape[2]]
         masked = img * (1.0 - m_full)
 
-        # cond = encode(masked_image) ++ downsampled mask (inpaint.py:76-81)
-        c_img = ldm.get_first_stage_encoding(ldm.encode_first_stage(masked))
-        m_lat = jnp.asarray(preprocess_mask(np.asarray(mask), self.downsample))
-        cond = {"c_concat": jnp.concatenate([c_img, m_lat], axis=-1)}
+        from sd_tpu.pipelines._jit import cached_jit
 
-        shape = (1, c_img.shape[1], c_img.shape[2], c_img.shape[3])
-        z, _ = ddim_sample(
-            ldm.apply_model, ldm.schedule, shape, cond, rng, num_steps=steps
-        )
-        pred = latents_to_images(ldm, z)
-        img01 = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
-        out = (1.0 - m_full) * img01 + m_full * pred  # inpaint.py:96-98
+        m_lat = jnp.asarray(preprocess_mask(np.asarray(mask), self.downsample))
+
+        # one compiled program per step count (shapes auto-retrace):
+        # cond-encode -> DDIM sample -> decode -> composite (inpaint.py:76-98)
+        def build():
+            def run(img, masked, m_full, m_lat, rng):
+                c_img = ldm.get_first_stage_encoding(
+                    ldm.encode_first_stage(masked))
+                cond = {"c_concat": jnp.concatenate([c_img, m_lat], axis=-1)}
+                shape = (1, c_img.shape[1], c_img.shape[2], c_img.shape[3])
+                z, _ = ddim_sample(
+                    ldm.apply_model, ldm.schedule, shape, cond, rng,
+                    num_steps=steps)
+                pred = latents_to_images(ldm, z)
+                img01 = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+                return (1.0 - m_full) * img01 + m_full * pred
+
+            return jax.jit(run)
+
+        out = cached_jit(self, ("inpaint", steps), build)(
+            img, masked, m_full, m_lat, rng)
         out = np.asarray(jax.device_get(out))
         return (out * 255.0 + 0.5).astype(np.uint8)

@@ -78,15 +78,29 @@ class SuperResPipeline:
         return (out * 255.0 + 0.5).astype(np.uint8)
 
     def _sample(self, cond_img, rng, steps, eta):
-        """cond_img [N, h, w, 3] -> upsampled [N, h*f, w*f, 3] in [-1,1]."""
+        """cond_img [N, h, w, 3] -> upsampled [N, h*f, w*f, 3] in [-1,1].
+
+        One compiled program per (steps, eta); jax.jit retraces per patch
+        shape (sd_tpu/pipelines/_jit.py rationale)."""
+        from sd_tpu.pipelines._jit import cached_jit
+
         ldm = self.ldm
-        n, h, w, _ = cond_img.shape
-        # the SR LDM diffuses in an f(vqf) latent over the OUTPUT resolution;
-        # for bsr_sr up_f == vqf == 4 so latent hw == LR hw
-        shape = (n, h * self.up_f // self.vqf, w * self.up_f // self.vqf,
-                 ldm.unet.config.out_channels)
-        cond = {"c_concat": jax.image.resize(
-            cond_img, (n,) + shape[1:3] + (3,), method="bicubic")}
-        z, _ = ddim_sample(ldm.apply_model, ldm.schedule, shape, cond, rng,
-                           num_steps=steps, eta=eta)
-        return ldm.decode_first_stage(z)
+
+        def build():
+            def run(cond_img, rng):
+                n, h, w, _ = cond_img.shape
+                # the SR LDM diffuses in an f(vqf) latent over the OUTPUT
+                # resolution; for bsr_sr up_f == vqf == 4 -> latent hw == LR hw
+                shape = (n, h * self.up_f // self.vqf,
+                         w * self.up_f // self.vqf,
+                         ldm.unet.config.out_channels)
+                cond = {"c_concat": jax.image.resize(
+                    cond_img, (n,) + shape[1:3] + (3,), method="bicubic")}
+                z, _ = ddim_sample(ldm.apply_model, ldm.schedule, shape, cond,
+                                   rng, num_steps=steps, eta=eta)
+                return ldm.decode_first_stage(z)
+
+            return jax.jit(run)
+
+        return cached_jit(self, ("sr_sample", steps, float(eta)), build)(
+            cond_img, rng)

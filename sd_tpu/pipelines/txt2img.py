@@ -56,10 +56,9 @@ class Txt2ImgPipeline:
     # conditioning/rng/x_T flow in as traced arguments.
 
     def _get_jit(self, key, builder):
-        cache = self.__dict__.setdefault("_jit_cache", {})
-        if key not in cache:
-            cache[key] = builder()
-        return cache[key]
+        from sd_tpu.pipelines._jit import cached_jit
+
+        return cached_jit(self, key, builder)
 
     def _make_sample_jit(self, sampler, height, width, steps, scale, eta,
                          has_uncond, has_xt):
