@@ -24,7 +24,18 @@ def load(path):
         return yaml.safe_load(f)
 
 
-@pytest.mark.parametrize("path", ALL_CONFIGS, ids=lambda p: os.path.relpath(p, REFERENCE))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# configs WE ship (flagship inference config for standalone use)
+REPO_CONFIGS = sorted(
+    glob.glob(os.path.join(REPO, "configs", "**", "*.yaml"), recursive=True))
+
+
+def _cfg_id(p):
+    root = REFERENCE if p.startswith(REFERENCE) else REPO
+    return ("ref:" if root == REFERENCE else "repo:") + os.path.relpath(p, root)
+
+
+@pytest.mark.parametrize("path", ALL_CONFIGS + REPO_CONFIGS, ids=_cfg_id)
 def test_model_node_instantiates(path):
     cfg = load(path)
     assert "model" in cfg, path
