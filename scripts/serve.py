@@ -81,8 +81,12 @@ class Server:
         self.watermark = (opt.watermark and min(opt.H, opt.W) >= 32)
         os.makedirs(opt.outdir, exist_ok=True)
         # continue numbering after any previous run's images (restart must
-        # not clobber paths already handed to clients)
-        self.count = len(os.listdir(opt.outdir))
+        # not clobber paths already handed to clients) — use max numeric stem,
+        # not the file count: gaps or foreign files would otherwise reuse an
+        # index that still exists on disk
+        stems = [int(os.path.splitext(f)[0]) for f in os.listdir(opt.outdir)
+                 if os.path.splitext(f)[0].isdigit()]
+        self.count = max(stems) + 1 if stems else 0
         if opt.warmup:
             t0 = time.perf_counter()
             self._generate(["warmup"] * opt.max_batch, seed=0)
@@ -103,7 +107,18 @@ class Server:
         from sd_tpu.utils.image import save_image
 
         prompt = req.get("prompt", "")
-        n = max(1, min(int(req.get("n", 1)), self.opt.max_batch))
+        # the serving configuration (steps/resolution/scale/sampler) is fixed
+        # at startup — reject requests that try to override it rather than
+        # silently serving them with the pinned settings
+        unsupported = sorted(set(req)
+                             - {"prompt", "seed", "n", "negative_prompt"})
+        if unsupported:
+            return {"ok": False,
+                    "error": f"unsupported request fields {unsupported}; "
+                    f"this server pins the sampling configuration at startup",
+                    "config": self.effective_config()}
+        n_req = int(req.get("n", 1))
+        n = max(1, min(n_req, self.opt.max_batch))
         seed = int(req.get("seed", 42))
         # pad to the fixed batch so every request reuses the compiled program
         prompts = ([prompt] * n
@@ -126,8 +141,17 @@ class Server:
         flags = []
         if getattr(self.pipe, "last_safety_flags", None) is not None:
             flags = [bool(f) for f in self.pipe.last_safety_flags[:n]]
-        return {"ok": True, "paths": paths, "seconds": round(dt, 3),
-                "safety_flagged": flags}
+        resp = {"ok": True, "paths": paths, "seconds": round(dt, 3),
+                "safety_flagged": flags, "config": self.effective_config()}
+        if n != n_req:
+            resp["n_clamped"] = n
+        return resp
+
+    def effective_config(self) -> dict:
+        opt = self.opt
+        return {"H": opt.H, "W": opt.W, "steps": opt.steps,
+                "sampler": opt.sampler, "scale": opt.scale,
+                "max_batch": opt.max_batch}
 
 
 def serve_stdio(server):

@@ -12,6 +12,7 @@ direct lowering); everywhere else it computes the direct XLA conv.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
@@ -36,6 +37,7 @@ class Conv3x3(nn.Module):
     dtype: Optional[Any] = None
     impl: str = "auto"
     interpret: bool = False  # interpret-mode kernel (CPU tests)
+    params_only: bool = False  # declare + return (kernel, bias), no compute
 
     @nn.compact
     def __call__(self, x):
@@ -44,6 +46,10 @@ class Conv3x3(nn.Module):
                             (3, 3, cin, self.features), jnp.float32)
         bias = self.param("bias", self.bias_init, (self.features,),
                           jnp.float32)
+        if self.params_only:
+            # the fused resblock path folds this conv into a Pallas kernel
+            # (ops/pallas/fused_conv.py) — same param tree, different math
+            return kernel, bias
         # dtype=None mirrors nn.Conv: promote (input, fp32 params)
         dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
         x = x.astype(dtype)
@@ -53,7 +59,19 @@ class Conv3x3(nn.Module):
         if use_wino:
             y = winograd_conv3x3(x, kernel, interpret=self.interpret)
         else:
+            # r3 in-context finding (tools/exp_fused_conv.py): XLA fuses the
+            # GN+SiLU producer into the conv's input reads and recomputes it
+            # per tap, dropping those convs to 40-60% of bound. The barrier
+            # materializes the producer once; the conv then runs clean.
+            if _conv_input_barrier():
+                x = jax.lax.optimization_barrier(x)
             y = jax.lax.conv_general_dilated(
                 x, kernel.astype(dtype), (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return y + bias.astype(dtype)
+
+
+def _conv_input_barrier() -> bool:
+    # read at trace time (default pending in-context measurement —
+    # tools/exp_fused_conv.py)
+    return os.environ.get("SD_TPU_CONV_IN_BARRIER", "0") == "1"

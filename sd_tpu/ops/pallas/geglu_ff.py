@@ -160,9 +160,14 @@ def _block_m(m: int, inner: int, block_m: Optional[int]) -> int:
     bm = (block_m or _bm_table().get(inner)
           or min(_MAX_BLOCK_M, _ACC_VMEM_BYTES // (8 * inner)))
     bm = max(min(bm, m), 8)
-    while m % bm:
+    while bm > 8 and m % bm:
         bm //= 2
-    return max(bm, 8)
+    if m % bm:
+        # clamping back up would make the grid m//bm skip tail rows silently
+        raise ValueError(
+            f"geglu_ff: m={m} has no valid block_m (needs a divisor >= 8); "
+            f"pad rows or use the XLA path")
+    return bm
 
 
 def ff_supported(x, inner: int) -> bool:

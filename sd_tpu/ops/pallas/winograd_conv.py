@@ -176,10 +176,19 @@ def _wino_pallas(x, u, *, trh: Optional[int] = None,
                  interleave: bool = True):
     b, h, w, c = x.shape
     k = u.shape[-1]
+    if h % 2 or w % 2:
+        raise ValueError(
+            f"winograd_conv3x3 needs even H/W, got {h}x{w} — the parity "
+            f"planes (and the r//trh grid) would silently drop rows")
     r, s = h // 2, w // 2
     trh0, tk0 = _pick_tiles(r, k)
     trh = trh or trh0
     tk = tk or tk0
+    if r % trh or k % tk:
+        raise ValueError(
+            f"winograd_conv3x3: grid does not cover the output "
+            f"(r={r} % trh={trh} or k={k} % tk={tk} nonzero) — rows/cols "
+            f"past the last tile would never be written")
     full = _parity_planes(x)               # [B, R+1, S+1, C] each
     s1 = s + 1
     ng = r // trh

@@ -25,11 +25,40 @@ import jax
 import jax.numpy as jnp
 
 from sd_tpu.ops.conv import Conv3x3
-from sd_tpu.ops.norms import GroupNorm32
+from sd_tpu.ops.norms import GroupNorm32, group_stats
+from sd_tpu.ops.pallas.fused_conv import (
+    fold_gn_affine, fused_conv3x3, fused_conv_enabled, fused_conv_supported)
 
 __all__ = ["Upsample", "Downsample", "ResBlock", "VAEResnetBlock"]
 
 zeros_init = nn.initializers.zeros_init()
+
+
+def _fused_pair_supported(x_shape, out_ch, dtype) -> bool:
+    b, h, w, cin = x_shape
+    return (fused_conv_supported(x_shape, (3, 3, cin, out_ch), dtype)
+            and fused_conv_supported((b, h, w, out_ch),
+                                     (3, 3, out_ch, out_ch), dtype))
+
+
+def _second_gn_folds(s1, s2, hw, offset, num_groups):
+    """Group stats of (h + offset) from per-channel moments of h.
+
+    ``s1``/``s2`` are the fused kernel's per-channel sums over H,W of the
+    bf16-rounded conv output h; ``offset`` [B, C] is whatever the kernel did
+    NOT add (previous conv bias, timestep embedding). Exact in fp32:
+    E[(h+o)^2] = E[h^2] + 2 o E[h] + o^2 per channel, then averaged over the
+    group — identical math to computing GroupNorm stats on h+o directly.
+    """
+    b, c = s1.shape
+    g = num_groups
+    mean_c = s1 / hw
+    meansq_c = s2 / hw
+    e_c = mean_c + offset
+    e2_c = meansq_c + 2.0 * offset * mean_c + jnp.square(offset)
+    mean_g = e_c.reshape(b, g, c // g).mean(-1)
+    meansq_g = e2_c.reshape(b, g, c // g).mean(-1)
+    return mean_g, meansq_g
 
 
 def nearest_upsample_2x(x):
@@ -105,10 +134,18 @@ class ResBlock(nn.Module):
     up: bool = False
     down: bool = False
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "auto"          # fused-kernel dispatch: auto|off|force
+    interpret: bool = False          # interpret-mode kernels (CPU tests)
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
         out_ch = self.out_channels or self.channels
+
+        if (not (self.up or self.down)
+                and (deterministic or self.dropout == 0.0)
+                and fused_conv_enabled(self.conv_impl, self.interpret)
+                and _fused_pair_supported(x.shape, out_ch, x.dtype)):
+            return self._fused(x, emb, out_ch)
 
         h = GroupNorm32(name="in_norm")(x)
         h = jax.nn.silu(h)
@@ -145,6 +182,61 @@ class ResBlock(nn.Module):
             skip = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="skip")(x)
         return skip + h
 
+    def _fused(self, x, emb, out_ch):
+        """Both convs via the fused GN+SiLU+conv Pallas kernel.
+
+        Same param tree as the standard path; the second GroupNorm's
+        statistics come from the first kernel's per-channel moment outputs
+        (no read of h), with the conv bias and timestep embedding folded in
+        exactly (``_second_gn_folds``). Gradients recompute through the XLA
+        composite (custom_vjp in ops/pallas/fused_conv.py).
+        """
+        eps = 1e-5
+        g1s, g1b = GroupNorm32(name="in_norm")(x, affine_only=True)
+        g2s, g2b = GroupNorm32(name="out_norm")(
+            affine_only=True, features=out_ch)
+        k1, b1 = Conv3x3(out_ch, dtype=self.dtype, name="in_conv",
+                         params_only=True)(x)
+        k2, b2 = Conv3x3(out_ch, dtype=self.dtype, kernel_init=zeros_init,
+                         name="out_conv", params_only=True)(
+            jnp.zeros((1, 1, 1, out_ch), x.dtype))
+        emb_out = nn.Dense(
+            2 * out_ch if self.use_scale_shift_norm else out_ch,
+            dtype=self.dtype, name="emb_proj")(jax.nn.silu(emb))
+
+        m1, m2 = group_stats(x, 32)
+        a1, d1 = fold_gn_affine(m1, m2, g1s, g1b, eps)
+        h_raw, s1, s2 = fused_conv3x3(
+            x, k1.astype(x.dtype), a=a1, d=d1, emit_moments=True,
+            interpret=self.interpret)
+
+        hw = x.shape[1] * x.shape[2]
+        ef = emb_out.astype(jnp.float32)
+        if self.use_scale_shift_norm:
+            offset = jnp.broadcast_to(
+                b1.astype(jnp.float32)[None, :], s1.shape)
+            scale, shift = jnp.split(ef, 2, axis=-1)
+            extra_scale, extra_shift = 1.0 + scale, shift
+        else:
+            offset = b1.astype(jnp.float32)[None, :] + ef
+            extra_scale = extra_shift = None
+        mg, m2g = _second_gn_folds(s1, s2, hw, offset, 32)
+        a2, d2 = fold_gn_affine(mg, m2g, g2s, g2b, eps,
+                                extra_scale=extra_scale,
+                                channel_offset=offset,
+                                extra_shift=extra_shift)
+
+        if out_ch == self.channels:
+            skip = x
+        elif self.use_conv:
+            skip = Conv3x3(out_ch, dtype=self.dtype, name="skip")(x)
+        else:
+            skip = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="skip")(x)
+        return fused_conv3x3(
+            h_raw, k2.astype(x.dtype), a=a2, d=d2,
+            bias=b2.astype(jnp.float32), skip=skip.astype(x.dtype),
+            interpret=self.interpret)
+
 
 class VAEResnetBlock(nn.Module):
     """Autoencoder residual block. Ref: ``model.py:82-141``.
@@ -159,10 +251,17 @@ class VAEResnetBlock(nn.Module):
     dropout: float = 0.0
     temb_channels: int = 0
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "auto"          # fused-kernel dispatch: auto|off|force
+    interpret: bool = False
 
     @nn.compact
     def __call__(self, x, temb=None, deterministic: bool = True):
         out_ch = self.out_channels or self.in_channels
+
+        if ((deterministic or self.dropout == 0.0)
+                and fused_conv_enabled(self.conv_impl, self.interpret)
+                and _fused_pair_supported(x.shape, out_ch, x.dtype)):
+            return self._fused(x, temb, out_ch)
 
         h = GroupNorm32(eps=1e-6, name="norm1")(x)
         h = jax.nn.silu(h)
@@ -184,3 +283,47 @@ class VAEResnetBlock(nn.Module):
             else:
                 x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
         return x + h
+
+    def _fused(self, x, temb, out_ch):
+        """Fused-kernel path (see ResBlock._fused); eps=1e-6, temb add."""
+        eps = 1e-6
+        g1s, g1b = GroupNorm32(eps=eps, name="norm1")(x, affine_only=True)
+        g2s, g2b = GroupNorm32(eps=eps, name="norm2")(
+            affine_only=True, features=out_ch)
+        k1, b1 = Conv3x3(out_ch, dtype=self.dtype, name="conv1",
+                         params_only=True)(x)
+        k2, b2 = Conv3x3(out_ch, dtype=self.dtype, name="conv2",
+                         params_only=True)(jnp.zeros((1, 1, 1, out_ch),
+                                                     x.dtype))
+
+        m1, m2 = group_stats(x, 32)
+        a1, d1 = fold_gn_affine(m1, m2, g1s, g1b, eps)
+        h_raw, s1, s2 = fused_conv3x3(
+            x, k1.astype(x.dtype), a=a1, d=d1, emit_moments=True,
+            interpret=self.interpret)
+
+        offset = b1.astype(jnp.float32)[None, :]
+        if temb is not None:
+            offset = offset + nn.Dense(
+                out_ch, dtype=self.dtype, name="temb_proj")(
+                jax.nn.silu(temb)).astype(jnp.float32)
+        else:
+            offset = jnp.broadcast_to(offset, s1.shape)
+        hw = x.shape[1] * x.shape[2]
+        mg, m2g = _second_gn_folds(s1, s2, hw, offset, 32)
+        a2, d2 = fold_gn_affine(mg, m2g, g2s, g2b, eps,
+                                channel_offset=offset)
+
+        if self.in_channels != out_ch:
+            if self.conv_shortcut:
+                skip = Conv3x3(out_ch, dtype=self.dtype,
+                               name="conv_shortcut")(x)
+            else:
+                skip = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+                               name="nin_shortcut")(x)
+        else:
+            skip = x
+        return fused_conv3x3(
+            h_raw, k2.astype(x.dtype), a=a2, d=d2,
+            bias=b2.astype(jnp.float32), skip=skip.astype(x.dtype),
+            interpret=self.interpret)

@@ -97,8 +97,9 @@ def build_txt2img_pipeline(
             pipe.safety_checker = port_safety_checker(
                 load_torch_state_dict(safety_ckpt))
         else:
-            print("safety checker: no safety ckpt given — running with "
-                  "unreachable thresholds (scores computed, nothing flagged)",
+            print("safety checker: no trained weights — running with "
+                  "unreachable thresholds (scores computed, NOTHING will be "
+                  "flagged); pass --safety_ckpt / SD_TPU_SAFETY_CKPT to arm",
                   file=sys.stderr)
             pipe.safety_checker = SafetyChecker.untrained(
                 jax.random.PRNGKey(0))
