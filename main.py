@@ -154,6 +154,14 @@ def train_first_stage(opt, config, rng):
         num_shards=jax.process_count(), shard_index=jax.process_index(),
         **data_cfg,
     )
+    resize_range = p.get("batch_resize_range")
+    if resize_range is not None:
+        from sd_tpu.training.vae_gan import BatchResizeWrapper
+
+        data = BatchResizeWrapper(data, tuple(resize_range))
+        print(f"{type(model).__name__}: Using per-batch resizing in range "
+              f"{tuple(resize_range)}.")
+
     base_lr = p.get("base_learning_rate",
                     config["model"].get("base_learning_rate", 4.5e-6))
     lr = scale_learning_rate(base_lr, data_cfg["batch_size"], jax.device_count())

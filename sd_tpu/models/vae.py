@@ -296,6 +296,11 @@ class VQModel(nn.Module):
     embed_dim: int
     beta: float = 0.25
     dtype: jnp.dtype = jnp.float32
+    # training-input augment (autoencoder.py:25,49-58,129-139): per-batch
+    # random resize to a multiple of 16 in [lo, hi]; applied HOST-side by
+    # training/vae_gan.py::BatchResizeWrapper (a device-side dynamic resize
+    # would recompile per size on TPU)
+    batch_resize_range: Optional[Tuple[int, int]] = None
 
     def setup(self):
         self.encoder = _build_encoder(self.ddconfig, self.dtype)

@@ -25,7 +25,7 @@ from sd_tpu.ops.resblock import Upsample, VAEResnetBlock
 __all__ = [
     "SimpleDecoder", "UpsampleDecoder", "LatentRescaler",
     "MergedRescaleEncoder", "MergedRescaleDecoder", "Upsampler", "resize",
-    "FirstStagePostProcessor",
+    "FirstStagePostProcessor", "TimestepVAEModel", "port_timestep_model",
 ]
 
 
@@ -260,3 +260,176 @@ class FirstStagePostProcessor(nn.Module):
             b, h, w, c = z.shape
             z = z.reshape(b, h * w, c)
         return z
+
+
+def _vae_timestep_embedding(t, dim: int):
+    """``get_timestep_embedding`` (``model.py:13-31``): tensor2tensor flavor
+    — ``half_dim - 1`` frequency denominator and sin-FIRST concat, unlike
+    the UNet's ``util.timestep_embedding`` (cos-first, ``/half``)."""
+    import math
+
+    half = dim // 2
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32)
+                    * -(math.log(10000.0) / (half - 1)))
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepVAEModel(nn.Module):
+    """Timestep-conditioned encoder-decoder with UNet skips.
+
+    Ref: ``ldm/modules/diffusionmodules/model.py:216-365`` (``Model``) — the
+    first-stage-family denoiser: the VAE encoder/decoder topology plus a
+    timestep embedding fed to every ResnetBlock and concat skip connections
+    from every encoder stage to the decoder (num_res_blocks+1 up blocks per
+    level). No shipped config instantiates it; kept for API completeness.
+    ``context`` concatenates along channels before conv_in (``:321-324``).
+    """
+
+    ch: int
+    out_ch: int = 3
+    ch_mult: Sequence[int] = (1, 2, 4, 8)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = ()
+    dropout: float = 0.0
+    resamp_with_conv: bool = True
+    in_channels: int = 3
+    resolution: int = 256
+    use_timestep: bool = True
+    attn_type: str = "vanilla"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t=None, context=None, deterministic: bool = True):
+        from sd_tpu.models.vae import _make_attn
+        from sd_tpu.ops.conv import Conv3x3
+        from sd_tpu.ops.resblock import Downsample
+
+        if context is not None:
+            x = jnp.concatenate([x, context], axis=-1)
+        temb_ch = 4 * self.ch
+        temb = None
+        if self.use_timestep:
+            assert t is not None, "use_timestep model needs t"
+            temb = _vae_timestep_embedding(t, self.ch)
+            temb = nn.Dense(temb_ch, dtype=self.dtype, name="temb_dense_0")(
+                temb.astype(self.dtype))
+            temb = nn.Dense(temb_ch, dtype=self.dtype, name="temb_dense_1")(
+                jax.nn.silu(temb))
+
+        num_resolutions = len(self.ch_mult)
+        in_ch_mult = (1,) + tuple(self.ch_mult)
+        curr_res = self.resolution
+        hs = [Conv3x3(self.ch, dtype=self.dtype, name="conv_in")(x)]
+        for i_level in range(num_resolutions):
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks):
+                block_in = self.ch * (in_ch_mult[i_level] if i_block == 0
+                                      else self.ch_mult[i_level])
+                h = VAEResnetBlock(
+                    in_channels=block_in, out_channels=block_out,
+                    temb_channels=temb_ch if temb is not None else 0,
+                    dropout=self.dropout, dtype=self.dtype,
+                    name=f"down_{i_level}_block_{i_block}",
+                )(hs[-1], temb, deterministic=deterministic)
+                if curr_res in self.attn_resolutions:
+                    h = _make_attn(block_out, self.attn_type, self.dtype,
+                                   name=f"down_{i_level}_attn_{i_block}")(h)
+                hs.append(h)
+            if i_level != num_resolutions - 1:
+                hs.append(Downsample(
+                    channels=block_out, use_conv=self.resamp_with_conv,
+                    asymmetric_pad=True, dtype=self.dtype,
+                    name=f"down_{i_level}_downsample")(hs[-1]))
+                curr_res //= 2
+
+        block_in = self.ch * self.ch_mult[-1]
+        h = VAEResnetBlock(in_channels=block_in, temb_channels=temb_ch,
+                           dropout=self.dropout, dtype=self.dtype,
+                           name="mid_block_1")(hs[-1], temb,
+                                               deterministic=deterministic)
+        h = _make_attn(block_in, self.attn_type, self.dtype,
+                       name="mid_attn_1")(h)
+        h = VAEResnetBlock(in_channels=block_in, temb_channels=temb_ch,
+                           dropout=self.dropout, dtype=self.dtype,
+                           name="mid_block_2")(h, temb,
+                                               deterministic=deterministic)
+
+        for i_level in reversed(range(num_resolutions)):
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks + 1):
+                skip_in = self.ch * (in_ch_mult[i_level]
+                                     if i_block == self.num_res_blocks
+                                     else self.ch_mult[i_level])
+                h = VAEResnetBlock(
+                    in_channels=h.shape[-1] + skip_in, out_channels=block_out,
+                    temb_channels=temb_ch if temb is not None else 0,
+                    dropout=self.dropout, dtype=self.dtype,
+                    name=f"up_{i_level}_block_{i_block}",
+                )(jnp.concatenate([h, hs.pop()], axis=-1), temb,
+                  deterministic=deterministic)
+                if curr_res in self.attn_resolutions:
+                    h = _make_attn(block_out, self.attn_type, self.dtype,
+                                   name=f"up_{i_level}_attn_{i_block}")(h)
+            if i_level != 0:
+                h = Upsample(channels=block_out,
+                             use_conv=self.resamp_with_conv,
+                             dtype=self.dtype,
+                             name=f"up_{i_level}_upsample")(h)
+                curr_res *= 2
+
+        h = GroupNorm32(eps=1e-6, name="norm_out")(h)
+        h = jax.nn.silu(h)
+        return Conv3x3(self.out_ch, dtype=self.dtype, name="conv_out")(h)
+
+
+def port_timestep_model(sd, cfg, prefix: str = ""):
+    """Port reference ``Model`` weights (``model.py:216-318``) into
+    ``TimestepVAEModel``'s param tree."""
+    from sd_tpu.models.vae import _port_vae_attn, _port_vae_resblock
+    from sd_tpu.utils import port
+
+    pre = f"{prefix}." if prefix else ""
+    ch_mult = tuple(cfg["ch_mult"])
+    nrb = cfg["num_res_blocks"]
+    attn_res = set(cfg.get("attn_resolutions", ()))
+    num_res = len(ch_mult)
+
+    params = {
+        "conv_in": port.conv(sd, f"{pre}conv_in"),
+        "conv_out": port.conv(sd, f"{pre}conv_out"),
+        "norm_out": {"GroupNorm_0": port.norm(sd, f"{pre}norm_out")},
+        "mid_block_1": _port_vae_resblock(sd, f"{pre}mid.block_1", 0, 0),
+        "mid_attn_1": _port_vae_attn(sd, f"{pre}mid.attn_1"),
+        "mid_block_2": _port_vae_resblock(sd, f"{pre}mid.block_2", 0, 0),
+    }
+    if f"{pre}temb.dense.0.weight" in sd:
+        params["temb_dense_0"] = port.dense(sd, f"{pre}temb.dense.0")
+        params["temb_dense_1"] = port.dense(sd, f"{pre}temb.dense.1")
+    curr_res = cfg["resolution"]
+    for i in range(num_res):
+        for j in range(nrb):
+            params[f"down_{i}_block_{j}"] = _port_vae_resblock(
+                sd, f"{pre}down.{i}.block.{j}", 0, 0)
+            if curr_res in attn_res:
+                params[f"down_{i}_attn_{j}"] = _port_vae_attn(
+                    sd, f"{pre}down.{i}.attn.{j}")
+        if i != num_res - 1:
+            params[f"down_{i}_downsample"] = {
+                "conv": port.conv(sd, f"{pre}down.{i}.downsample.conv")}
+            curr_res //= 2
+    for i in reversed(range(num_res)):
+        for j in range(nrb + 1):
+            params[f"up_{i}_block_{j}"] = _port_vae_resblock(
+                sd, f"{pre}up.{i}.block.{j}", 0, 0)
+            if curr_res in attn_res:
+                params[f"up_{i}_attn_{j}"] = _port_vae_attn(
+                    sd, f"{pre}up.{i}.attn.{j}")
+        if i != 0:
+            params[f"up_{i}_upsample"] = {
+                "conv": port.conv(sd, f"{pre}up.{i}.upsample.conv")}
+            curr_res *= 2
+    return params

@@ -29,7 +29,8 @@ import yaml
 from sd_tpu.parallel.mesh import is_main_process
 from sd_tpu.utils.checkpoint import CheckpointManager, latest_checkpoint, restore_checkpoint
 from sd_tpu.utils.config import instantiate_from_config
-from sd_tpu.utils.image import make_grid, save_image, text_to_image
+from sd_tpu.utils.image import (make_grid, save_image, segmentation_to_rgb,
+                                text_to_image)
 
 __all__ = ["DataModuleFromConfig", "ImageLogger", "Trainer", "log_images"]
 
@@ -93,6 +94,9 @@ def log_images(ldm, batch, rng, n_row: int = 4, sample_steps: int = 20,
             raw_cond = None  # host strings need a tokenizer; pipelines own it
         else:
             cond = ldm.get_learned_conditioning(jnp.asarray(raw_cond[:n]))
+            rc = np.asarray(raw_cond[:n])
+            if rc.ndim == 4 and rc.shape[-1] > 3:  # ismap (ddpm.py:1279-1280)
+                out["original_conditioning"] = segmentation_to_rgb(rc)
 
     if plot_diffusion_rows:  # ddpm.py:1277-1294
         rows = []

@@ -58,6 +58,69 @@ def adopt_weight(weight, global_step, threshold: int = 0, value: float = 0.0):
     return jnp.where(global_step < threshold, value, weight)
 
 
+class BatchResizeWrapper:
+    """Per-batch random resize for VQ first-stage training.
+
+    Reference: ``VQModel.get_input`` (``ldm/models/autoencoder.py:25,49-58,
+    129-139``) — resize every batch (bicubic) to a uniformly drawn multiple
+    of 16 in ``[lo, hi]``; the first few global steps pin the max size so an
+    OOM surfaces immediately. TPU-native port: the resize runs HOST-side in
+    the input pipeline (MATLAB-bicubic ``data/degradation.py::imresize``;
+    the reference uses ``F.interpolate(mode='bicubic')``) — a device-side
+    dynamic resize would recompile per size, while host bucketing reuses one
+    compiled program per size bucket. Applied to train and validation
+    loaders like the reference's ``get_input``; only train batches advance
+    the step counter.
+    """
+
+    def __init__(self, data, resize_range, seed: int = 0):
+        lo, hi = resize_range
+        if lo % 16 or hi % 16 or lo > hi:
+            raise ValueError(f"batch_resize_range must be ascending "
+                             f"multiples of 16, got {resize_range}")
+        self._data = data
+        self.resize_range = (int(lo), int(hi))
+        self._rng = np.random.default_rng(seed)
+        self.global_step = 0
+
+    def _resize_batch(self, batch, advance: bool):
+        from sd_tpu.data.degradation import imresize
+
+        x = batch.get("image")
+        if x is None:
+            return batch
+        lo, hi = self.resize_range
+        if self.global_step <= 4:
+            new = hi  # first few batches at max size to surface OOM early
+        else:
+            new = int(self._rng.choice(np.arange(lo, hi + 16, 16)))
+        if advance:
+            self.global_step += 1
+        x = np.asarray(x)
+        if new != x.shape[1]:
+            scale = new / x.shape[1]
+            x = np.stack([imresize(im, scale) for im in x])
+            batch = dict(batch, image=x)
+        return batch
+
+    def _wrap(self, it, advance: bool):
+        if it is None:
+            return None
+        return (self._resize_batch(b, advance) for b in it)
+
+    def train_dataloader(self):
+        return self._wrap(self._data.train_dataloader(), True)
+
+    def val_dataloader(self):
+        return self._wrap(self._data.val_dataloader(), False)
+
+    def test_dataloader(self):
+        return self._data.test_dataloader()
+
+    def __getattr__(self, name):
+        return getattr(self._data, name)
+
+
 def measure_perplexity(predicted_indices, n_embed: int):
     """Codebook usage perplexity. Ref: vqperceptual.py:26-33."""
     onehot = jax.nn.one_hot(predicted_indices.reshape(-1), n_embed)

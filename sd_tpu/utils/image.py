@@ -11,7 +11,8 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["save_image", "make_grid", "save_grid", "text_to_image", "load_image"]
+__all__ = ["save_image", "make_grid", "save_grid", "text_to_image",
+           "load_image", "segmentation_to_rgb"]
 
 
 def save_image(img: np.ndarray, path: str) -> None:
@@ -70,3 +71,23 @@ def text_to_image(wh, captions: Sequence[str], size: int = 10) -> np.ndarray:
         arr = np.asarray(img).astype(np.float32) / 127.5 - 1.0
         out.append(arr)
     return np.stack(out)
+
+
+def segmentation_to_rgb(x, seed: int = 0):
+    """Colorize a one-hot segmentation map with a fixed random projection.
+
+    NHWC analog of ``LatentDiffusion.to_rgb`` (``ldm/models/diffusion/
+    ddpm.py:1386-1390``): a random 1x1 conv to 3 channels, then min-max
+    rescale to [-1, 1]. The projection is derived deterministically from
+    (seed, n_labels) so repeated log_images calls colorize consistently
+    (the reference caches its random buffer on the module instead).
+    """
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float32)
+    nl = x.shape[-1]
+    rng = np.random.default_rng(seed * 100003 + nl)
+    w = rng.standard_normal((nl, 3)).astype(np.float32)
+    y = x @ w
+    lo, hi = y.min(), y.max()
+    return 2.0 * (y - lo) / max(hi - lo, 1e-12) - 1.0

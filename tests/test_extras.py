@@ -238,3 +238,70 @@ def test_superres_cond_shapes():
     assert c.shape == (1, 32, 48, 3)
     assert (oh, ow) == (128, 192)
     assert c.min() >= -1.0 and c.max() <= 1.0
+
+
+def test_timestep_vae_model_parity():
+    """TimestepVAEModel vs the reference timestep-capable ``Model``
+    (model.py:216-365) with ported weights: temb injection + UNet skips."""
+    from sd_tpu.models.vae_extras import TimestepVAEModel, port_timestep_model
+    from tests.torch_ref import (nchw_to_nhwc, nhwc_to_nchw, run_torch, t2n,
+                                 torch_manual_seed)
+
+    torch = torch_manual_seed(31)
+    from ldm.modules.diffusionmodules.model import Model as RefModel
+
+    cfg = dict(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+               attn_resolutions=[8], dropout=0.0, in_channels=3,
+               resolution=16, use_timestep=True)
+    ref = RefModel(**cfg)
+    x = torch.randn(2, 3, 16, 16)
+    t = torch.tensor([3, 250])
+    expected = run_torch(ref, x, t)
+
+    sd = ref.state_dict()
+    params = port_timestep_model(sd, cfg)
+    mod = TimestepVAEModel(**cfg)
+    out = mod.apply({"params": params}, nchw_to_nhwc(t2n(x)),
+                    jnp.asarray([3.0, 250.0]))
+    assert out.shape == (2, 16, 16, 3)
+    np.testing.assert_allclose(nhwc_to_nchw(out), t2n(expected),
+                               atol=3e-4, rtol=1e-4)
+
+
+def test_batch_resize_wrapper():
+    """VQ per-batch resize augment (autoencoder.py:25,49-58,129-139): first
+    batches at max size, later sizes multiples of 16 within range."""
+    from sd_tpu.training.vae_gan import BatchResizeWrapper
+
+    class FakeData:
+        def train_dataloader(self):
+            return ({"image": np.zeros((2, 64, 64, 3), np.float32)}
+                    for _ in range(12))
+
+        def val_dataloader(self):
+            return None
+
+        def test_dataloader(self):
+            return None
+
+    wrapped = BatchResizeWrapper(FakeData(), (32, 64), seed=3)
+    sizes = [b["image"].shape[1] for b in wrapped.train_dataloader()]
+    assert sizes[:5] == [64] * 5  # step<=4 pins max size (oom probe)
+    assert all(s % 16 == 0 and 32 <= s <= 64 for s in sizes)
+    assert len(set(sizes[5:])) > 1  # actually randomizes
+
+    with pytest.raises(ValueError):
+        BatchResizeWrapper(FakeData(), (33, 64))
+
+
+def test_segmentation_to_rgb():
+    """to_rgb colorization contract (ddpm.py:1386-1390): 3 channels,
+    [-1, 1] range, deterministic per label count."""
+    from sd_tpu.utils.image import segmentation_to_rgb
+
+    x = np.zeros((2, 8, 8, 10), np.float32)
+    x[..., 3] = 1.0
+    y = segmentation_to_rgb(x)
+    assert y.shape == (2, 8, 8, 3)
+    assert y.min() >= -1.0 - 1e-6 and y.max() <= 1.0 + 1e-6
+    np.testing.assert_allclose(y, segmentation_to_rgb(x))
