@@ -12,10 +12,13 @@ that:
 Requests are JSON objects:
 {"prompt": "...", "seed": 1234, "n": 1, "negative_prompt": "..."}
 (``n`` up to --max-batch; the fixed-batch program is padded so every
-request hits the same compiled executable). Responses carry the written
-PNG paths plus safety-checker flags. Safety checker + invisible watermark
-run by default, matching the reference output contract
-(``scripts/txt2img.py:69-95,317-343``).
+request hits the same compiled executable). Concurrent requests within
+``--batch-window`` ms coalesce into ONE padded execution (per-request
+seeds preserved via per-request host-drawn ``x_T`` noise); responses
+carry ``exec_id``/``batched_requests`` so clients can observe sharing.
+Responses carry the written PNG paths plus safety-checker flags. Safety
+checker + invisible watermark run by default, matching the reference
+output contract (``scripts/txt2img.py:69-95,317-343``).
 """
 
 import argparse
@@ -42,6 +45,10 @@ def parse_args():
     p.add_argument("--scale", type=float, default=7.5)
     p.add_argument("--max-batch", dest="max_batch", type=int, default=1,
                    help="fixed serving batch; requests are padded to it")
+    p.add_argument("--batch-window", dest="batch_window", type=float,
+                   default=10.0,
+                   help="ms to wait coalescing concurrent requests into one "
+                        "padded-batch execution")
     p.add_argument("--config", type=str,
                    default="configs/stable-diffusion/v1-inference.yaml")
     p.add_argument("--ckpt", type=str)
@@ -70,9 +77,22 @@ def build_pipeline(opt):
 
 
 class Server:
-    """Fixed-shape warm server around Txt2ImgPipeline."""
+    """Fixed-shape warm server with request coalescing.
+
+    Concurrent requests arriving within ``--batch-window`` ms are packed
+    into ONE padded ``--max-batch`` execution (a dedicated worker thread
+    owns the device; HTTP handler threads block on their slot). Per-request
+    seeds are preserved under coalescing: each request's initial latent
+    noise ``x_T`` is drawn host-side from ITS seed and concatenated, so the
+    same (prompt, seed) reproduces the same image regardless of which other
+    requests shared the batch. The in-loop sampler rng (eta>0 DDIM) uses
+    the first request's seed — PLMS/DDIM-eta0 defaults are unaffected.
+    """
 
     def __init__(self, opt):
+        import queue
+        import threading
+
         import jax
 
         self.opt = opt
@@ -87,26 +107,25 @@ class Server:
         stems = [int(os.path.splitext(f)[0]) for f in os.listdir(opt.outdir)
                  if os.path.splitext(f)[0].isdigit()]
         self.count = max(stems) + 1 if stems else 0
+        self.exec_count = 0
+        self._queue = queue.Queue()
+        self._pending = None  # overflow item held for the next batch
+        self._worker = threading.Thread(target=self._work, daemon=True)
+        self._worker.start()
         if opt.warmup:
             t0 = time.perf_counter()
-            self._generate(["warmup"] * opt.max_batch, seed=0)
+            self._run_batch([{"prompt": "warmup", "n": opt.max_batch,
+                              "seed": 0, "negative": None,
+                              "event": None, "resp": {}}])
+            self.exec_count = 0
             print(f"serve: warm (compile+first batch "
                   f"{time.perf_counter() - t0:.1f}s)", file=sys.stderr,
                   flush=True)
 
-    def _generate(self, prompts, seed, negative=None):
-        opt = self.opt
-        neg = [negative] * len(prompts) if negative else None
-        return self.pipe(
-            prompts, self.jax.random.PRNGKey(seed),
-            negative_prompts=neg, height=opt.H,
-            width=opt.W, steps=opt.steps, guidance_scale=opt.scale,
-            sampler=opt.sampler)
-
+    # ------------------------------------------------------------- request
     def handle(self, req: dict) -> dict:
-        from sd_tpu.utils.image import save_image
+        import threading
 
-        prompt = req.get("prompt", "")
         # the serving configuration (steps/resolution/scale/sampler) is fixed
         # at startup — reject requests that try to override it rather than
         # silently serving them with the pinned settings
@@ -119,39 +138,110 @@ class Server:
                     "config": self.effective_config()}
         n_req = int(req.get("n", 1))
         n = max(1, min(n_req, self.opt.max_batch))
-        seed = int(req.get("seed", 42))
-        # pad to the fixed batch so every request reuses the compiled program
-        prompts = ([prompt] * n
-                   + [""] * (self.opt.max_batch - n))
-        t0 = time.perf_counter()
-        # negative_prompt changes conditioning DATA only — no recompile
-        imgs = self._generate(prompts, seed,
-                              negative=req.get("negative_prompt"))[:n]
-        dt = time.perf_counter() - t0
-        if self.watermark:
-            from sd_tpu.utils.watermark import embed_watermark
-
-            imgs = [embed_watermark(im) for im in imgs]
-        paths = []
-        for img in imgs:
-            path = os.path.join(self.opt.outdir, f"{self.count:06}.png")
-            save_image(img, path)
-            paths.append(path)
-            self.count += 1
-        flags = []
-        if getattr(self.pipe, "last_safety_flags", None) is not None:
-            flags = [bool(f) for f in self.pipe.last_safety_flags[:n]]
-        resp = {"ok": True, "paths": paths, "seconds": round(dt, 3),
-                "safety_flagged": flags, "config": self.effective_config()}
+        item = {"prompt": req.get("prompt", ""), "n": n,
+                "seed": int(req.get("seed", 42)),
+                "negative": req.get("negative_prompt"),
+                "event": threading.Event(), "resp": {}}
+        self._queue.put(item)
+        item["event"].wait()
+        resp = item["resp"]
         if n != n_req:
             resp["n_clamped"] = n
         return resp
+
+    # -------------------------------------------------------------- worker
+    def _work(self):
+        while True:
+            first = self._pending or self._queue.get()
+            self._pending = None
+            batch, slots = [first], first["n"]
+            deadline = time.monotonic() + self.opt.batch_window / 1000.0
+            while slots < self.opt.max_batch:
+                wait = deadline - time.monotonic()
+                if wait <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=wait)
+                except Exception:  # queue.Empty
+                    break
+                if slots + nxt["n"] > self.opt.max_batch:
+                    self._pending = nxt  # head of the next batch
+                    break
+                batch.append(nxt)
+                slots += nxt["n"]
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # noqa: BLE001 — serve loop must survive
+                for it in batch:
+                    it["resp"] = {"ok": False,
+                                  "error": f"{type(e).__name__}: {e}"}
+                    if it["event"] is not None:
+                        it["event"].set()
+
+    def _noise(self, seed, n):
+        opt, pipe = self.opt, self.pipe
+        shape = (n, opt.H // pipe.downsample, opt.W // pipe.downsample,
+                 pipe.latent_channels)
+        return self.jax.random.normal(self.jax.random.PRNGKey(seed), shape)
+
+    def _run_batch(self, batch):
+        import numpy as np
+
+        from sd_tpu.utils.image import save_image
+
+        opt = self.opt
+        jnp = self.jax.numpy
+        prompts, negs, noises = [], [], []
+        for it in batch:
+            prompts += [it["prompt"]] * it["n"]
+            negs += [it["negative"] or ""] * it["n"]
+            noises.append(self._noise(it["seed"], it["n"]))
+        pad = opt.max_batch - len(prompts)
+        if pad:
+            prompts += [""] * pad
+            negs += [""] * pad
+            noises.append(self._noise(0, pad))
+        t0 = time.perf_counter()
+        imgs = self.pipe(
+            prompts, self.jax.random.PRNGKey(batch[0]["seed"]),
+            negative_prompts=negs, height=opt.H, width=opt.W,
+            steps=opt.steps, guidance_scale=opt.scale, sampler=opt.sampler,
+            x_T=jnp.concatenate(noises, axis=0))
+        dt = time.perf_counter() - t0
+        self.exec_count += 1
+        flags = getattr(self.pipe, "last_safety_flags", None)
+        off = 0
+        for it in batch:
+            n = it["n"]
+            sl = imgs[off:off + n]
+            if self.watermark:
+                from sd_tpu.utils.watermark import embed_watermark
+
+                sl = [embed_watermark(im) for im in sl]
+            paths = []
+            for img in sl:
+                path = os.path.join(opt.outdir, f"{self.count:06}.png")
+                save_image(img, path)
+                paths.append(path)
+                self.count += 1
+            it["resp"] = {
+                "ok": True, "paths": paths, "seconds": round(dt, 3),
+                "safety_flagged": [bool(f) for f in flags[off:off + n]]
+                if flags is not None else [],
+                "config": self.effective_config(),
+                "exec_id": self.exec_count,
+                "batched_requests": len(batch),
+            }
+            off += n
+            if it["event"] is not None:
+                it["event"].set()
 
     def effective_config(self) -> dict:
         opt = self.opt
         return {"H": opt.H, "W": opt.W, "steps": opt.steps,
                 "sampler": opt.sampler, "scale": opt.scale,
-                "max_batch": opt.max_batch}
+                "max_batch": opt.max_batch,
+                "batch_window_ms": opt.batch_window}
 
 
 def serve_stdio(server):
@@ -171,7 +261,7 @@ def serve_stdio(server):
 
 
 def serve_http(server, port):
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
@@ -195,7 +285,9 @@ def serve_http(server, port):
             pass
 
     print(f"serve: http on :{port}", file=sys.stderr, flush=True)
-    HTTPServer(("127.0.0.1", port), Handler).serve_forever()
+    # threading server: handler threads block on their batch slot while the
+    # worker coalesces concurrent requests into one padded execution
+    ThreadingHTTPServer(("127.0.0.1", port), Handler).serve_forever()
 
 
 def main():

@@ -168,8 +168,8 @@ def _kernel(cfg: _Cfg, ng: int, h_img: int, *refs):
 
     # ---- prologue: folded GN affine + SiLU (fp32), bf16 once ----
     if cfg.prologue:
-        af = a_ref[0].astype(jnp.float32)
-        df = d_ref[0].astype(jnp.float32)
+        af = a_ref[0, 0].astype(jnp.float32)
+        df = d_ref[0, 0].astype(jnp.float32)
         xf = xw.astype(jnp.float32) * af[None, None, :] + df[None, None, :]
         h = _silu_f32(xf).astype(xw.dtype)
     else:
@@ -206,8 +206,8 @@ def _kernel(cfg: _Cfg, ng: int, h_img: int, *refs):
     y_ref[0] = yb.reshape(trh, w_img, tk)
     if cfg.emit_moments:
         yf = yb.astype(jnp.float32)
-        m1_ref[0, 0] = jnp.sum(yf, axis=0)
-        m2_ref[0, 0] = jnp.sum(yf * yf, axis=0)
+        m1_ref[0, 0, 0] = jnp.sum(yf, axis=0)
+        m2_ref[0, 0, 0] = jnp.sum(yf * yf, axis=0)
 
 
 def _pad128(v):
@@ -285,9 +285,11 @@ def _fused_pallas(cfg: _Cfg, x, w9, a, d, bias, skip):
                 pl.BlockSpec(memory_space=pltpu.ANY)]   # w9 (manual DMA)
     args = [x, w9.astype(x.dtype)]
     if cfg.prologue:
-        in_specs += [pl.BlockSpec((1, c), lambda ki, bi, ri: (bi, 0),
+        # [B, 1, C] blocks: a bare (1, C) block of a [B, C] array violates
+        # Mosaic's second-to-last-dim rule (divisible by 8 or full)
+        in_specs += [pl.BlockSpec((1, 1, c), lambda ki, bi, ri: (bi, 0, 0),
                                   memory_space=pltpu.VMEM)] * 2
-        args += [a, d]
+        args += [a[:, None, :], d[:, None, :]]
     if cfg.has_bias:
         in_specs.append(pl.BlockSpec((1, tk), lambda ki, bi, ri: (0, ki),
                                      memory_space=pltpu.VMEM))
@@ -303,9 +305,10 @@ def _fused_pallas(cfg: _Cfg, x, w9, a, d, bias, skip):
                               lambda ki, bi, ri: (bi, ri, 0, ki),
                               memory_space=pltpu.VMEM)]
     if cfg.emit_moments:
-        out_shapes += [jax.ShapeDtypeStruct((b, ng, n), jnp.float32)] * 2
-        out_specs += [pl.BlockSpec((1, 1, tk),
-                                   lambda ki, bi, ri: (bi, ri, ki),
+        # [B, NG, 1, N] with (1, 1, 1, tk) blocks for the same Mosaic rule
+        out_shapes += [jax.ShapeDtypeStruct((b, ng, 1, n), jnp.float32)] * 2
+        out_specs += [pl.BlockSpec((1, 1, 1, tk),
+                                   lambda ki, bi, ri: (bi, ri, 0, ki),
                                    memory_space=pltpu.VMEM)] * 2
 
     flops = 2 * b * h_img * w_img * 9 * c * n
@@ -332,7 +335,7 @@ def _fused_pallas(cfg: _Cfg, x, w9, a, d, bias, skip):
     )(*args)
     if cfg.emit_moments:
         y, m1, m2 = out
-        return y, m1.sum(axis=1), m2.sum(axis=1)
+        return y, m1[:, :, 0].sum(axis=1), m2[:, :, 0].sum(axis=1)
     return out[0]
 
 

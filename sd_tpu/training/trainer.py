@@ -272,6 +272,9 @@ class Trainer:
         if loader is None:
             return
         ema = getattr(state, "ema", None)
+        # async dispatch: keep every per-batch loss ON DEVICE and fetch once
+        # at the end — each jax.device_get through the TPU tunnel pays the
+        # ~40-50 ms RPC floor, so the pass issues O(1) syncs, not O(batches)
         losses, losses_ema = [], []
         for i, batch in enumerate(loader):
             if i >= 8:
@@ -279,13 +282,15 @@ class Trainer:
             rng, k = jax.random.split(rng)
             dev_batch = _to_device(batch)
             loss, aux = self.trainer_obj.loss_fn(state.params, dev_batch, k)
-            losses.append(float(jax.device_get(loss)))
+            losses.append(loss)
             if ema is not None:
                 loss_e, _ = self.trainer_obj.loss_fn(ema.shadow, dev_batch, k)
-                losses_ema.append(float(jax.device_get(loss_e)))
-        metrics = {"val/loss_simple": float(np.mean(losses))}
+                losses_ema.append(loss_e)
+        fetched = jax.device_get(losses + losses_ema)
+        metrics = {"val/loss_simple": float(np.mean(fetched[:len(losses)]))}
         if losses_ema:
-            metrics["val/loss_simple_ema"] = float(np.mean(losses_ema))
+            metrics["val/loss_simple_ema"] = float(
+                np.mean(fetched[len(losses):]))
         print(f"validation @ step {step}: {metrics}")
         if self.metrics_writer is not None:
             self.metrics_writer.write(step, metrics)

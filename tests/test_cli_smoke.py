@@ -124,3 +124,68 @@ def test_serve_stdio(tmp_path):
     for r in lines:
         for p in r["paths"]:
             assert os.path.exists(p)
+
+
+def test_serve_http_coalescing(tmp_path):
+    """Two concurrent HTTP clients coalesce into ONE padded-batch execution
+    (scripts/serve.py request batching): same exec_id, batched_requests=2."""
+    import json
+    import socket
+    import threading
+    import time as _time
+    import urllib.request
+
+    # pick a free port
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    proc = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--tiny", "--http", str(port),
+         "--steps", "2", "--max-batch", "2", "--batch-window", "2000",
+         "--outdir", str(tmp_path / "serve")],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=REPO, env=ENV,
+    )
+    try:
+        deadline = _time.time() + 420
+        while _time.time() < deadline:
+            try:
+                urllib.request.urlopen(
+                    urllib.request.Request(
+                        f"http://127.0.0.1:{port}/txt2img",
+                        data=json.dumps({"prompt": "warm probe"}).encode(),
+                        headers={"Content-Type": "application/json"}),
+                    timeout=300).read()
+                break
+            except OSError:
+                _time.sleep(2.0)
+        else:
+            raise AssertionError("server never came up")
+
+        results = [None, None]
+
+        def client(i, prompt, seed):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/txt2img",
+                data=json.dumps({"prompt": prompt, "seed": seed}).encode(),
+                headers={"Content-Type": "application/json"})
+            results[i] = json.loads(
+                urllib.request.urlopen(req, timeout=300).read())
+
+        t1 = threading.Thread(target=client, args=(0, "a red fox", 7))
+        t2 = threading.Thread(target=client, args=(1, "a blue bird", 8))
+        t1.start(); t2.start(); t1.join(300); t2.join(300)
+
+        a, b = results
+        assert a and b and a["ok"] and b["ok"], (a, b)
+        assert a["exec_id"] == b["exec_id"], (a["exec_id"], b["exec_id"])
+        assert a["batched_requests"] == 2 and b["batched_requests"] == 2
+        assert a["paths"] != b["paths"]
+        for r in results:
+            for p in r["paths"]:
+                assert os.path.exists(p)
+    finally:
+        proc.kill()
+        proc.wait()
