@@ -99,10 +99,14 @@ def _kernel(cfg: _Cfg, ng: int, h_img: int, *refs):
     w_img, c = x_hbm.shape[2], x_hbm.shape[3]
 
     # ---- weight tile: fetched once per ki sweep, single-buffered ----
+    # (slice only when actually tiled: a pl.ds over the full lane dim trips
+    # Mosaic's 128-alignment check for N like 320)
+    w_src = w_hbm if w_hbm.shape[-1] == tk else w_hbm.at[:, :, pl.ds(
+        pl.multiple_of(ki * tk, 128), tk)]
+
     @pl.when(jnp.logical_and(bi == 0, ri == 0))
     def _fetch_w():
-        dma = pltpu.make_async_copy(
-            w_hbm.at[:, :, pl.ds(ki * tk, tk)], wbuf, sem_w)
+        dma = pltpu.make_async_copy(w_src, wbuf, sem_w)
         dma.start()
         dma.wait()
 
@@ -181,12 +185,11 @@ def _kernel(cfg: _Cfg, ng: int, h_img: int, *refs):
                          jnp.logical_and(ri == ng - 1, row == trh + 1))
     h = jnp.where(pad, jnp.zeros((), h.dtype), h)
 
-    # dx taps as one-sublane rolls with SAME-pad zero columns
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, w_img, 1), 1)
-    hl = jnp.where(col == 0, jnp.zeros((), h.dtype),
-                   pltpu.roll(h, 1, axis=1))          # reads column q-1
-    hr = jnp.where(col == w_img - 1, jnp.zeros((), h.dtype),
-                   pltpu.roll(h, w_img - 1, axis=1))  # reads column q+1
+    # dx taps as one-sublane shifts with SAME-pad zero columns (concat, not
+    # pltpu.roll — Mosaic's rotate only supports 32-bit element types)
+    zcol = jnp.zeros((trh + 2, 1, c), h.dtype)
+    hl = jnp.concatenate([zcol, h[:, :-1, :]], axis=1)   # reads column q-1
+    hr = jnp.concatenate([h[:, 1:, :], zcol], axis=1)    # reads column q+1
 
     # ---- conv: 9 MXU dots, dy via free major-dim slices ----
     acc = jnp.zeros((trh * w_img, tk), jnp.float32)
@@ -205,9 +208,17 @@ def _kernel(cfg: _Cfg, ng: int, h_img: int, *refs):
     yb = acc.astype(y_ref.dtype)
     y_ref[0] = yb.reshape(trh, w_img, tk)
     if cfg.emit_moments:
-        yf = yb.astype(jnp.float32)
-        m1_ref[0, 0, 0] = jnp.sum(yf, axis=0)
-        m2_ref[0, 0, 0] = jnp.sum(yf * yf, axis=0)
+        # row-sums as MXU dots with a ones block — a VPU jnp.sum over the
+        # sublane axis costs ~0.5 ms/call in cross-sublane shuffles
+        # (measured, tools/exp_fused_kernel_tpu.py); the MXU does it free.
+        # fp32 accumulation keeps the sums exact; the squares round through
+        # the compute dtype (exact in fp32, ~2e-4 relative in bf16).
+        ones = jnp.ones((8, trh * w_img), yb.dtype)
+        m1_ref[0, 0] = jax.lax.dot(ones, yb,
+                                   preferred_element_type=jnp.float32)
+        ysq = jnp.square(yb.astype(jnp.float32)).astype(yb.dtype)
+        m2_ref[0, 0] = jax.lax.dot(ones, ysq,
+                                   preferred_element_type=jnp.float32)
 
 
 def _pad128(v):
@@ -228,8 +239,11 @@ def _vmem_estimate(trh, w_img, c, tk, itemsize):
 
 def _pick_tiles(h_img, w_img, c, n, itemsize):
     # W % 16: the free [trh, W, C] <-> [trh*W, C] reshape needs W to be a
-    # multiple of the bf16 sublane tile
-    if h_img % 8 or w_img % 16 or w_img < 16:
+    # multiple of the bf16 sublane tile. C % 128: Mosaic requires sliced
+    # DMAs (the halo row windows) to have a 128-aligned lane extent — the
+    # C=320/960 UNet level-0 sites stay on XLA, where they already run at
+    # 97-100% of their padded bound (tools/floor_table.py).
+    if h_img % 8 or w_img % 16 or w_img < 16 or c % 128:
         return None, None
     trh = 8
     candidates = [n] + [t for t in (1280, 1024, 768, 640, 512, 384, 256, 128)
@@ -305,9 +319,10 @@ def _fused_pallas(cfg: _Cfg, x, w9, a, d, bias, skip):
                               lambda ki, bi, ri: (bi, ri, 0, ki),
                               memory_space=pltpu.VMEM)]
     if cfg.emit_moments:
-        # [B, NG, 1, N] with (1, 1, 1, tk) blocks for the same Mosaic rule
-        out_shapes += [jax.ShapeDtypeStruct((b, ng, 1, n), jnp.float32)] * 2
-        out_specs += [pl.BlockSpec((1, 1, 1, tk),
+        # [B, NG, 8, N]: the kernel's ones-dot emits 8 identical sum rows
+        # (sublane-aligned block); the host reads row 0
+        out_shapes += [jax.ShapeDtypeStruct((b, ng, 8, n), jnp.float32)] * 2
+        out_specs += [pl.BlockSpec((1, 1, 8, tk),
                                    lambda ki, bi, ri: (bi, ri, 0, ki),
                                    memory_space=pltpu.VMEM)] * 2
 
@@ -336,7 +351,7 @@ def _fused_pallas(cfg: _Cfg, x, w9, a, d, bias, skip):
     if cfg.emit_moments:
         y, m1, m2 = out
         return y, m1[:, :, 0].sum(axis=1), m2[:, :, 0].sum(axis=1)
-    return out[0]
+    return out[0] if isinstance(out, (list, tuple)) else out
 
 
 def _reference(cfg: _Cfg, x, w9, a, d, bias, skip):

@@ -62,10 +62,13 @@ class TestKernel:
         np.testing.assert_allclose(y, ref, atol=2e-5)
 
     def test_supported_gate(self):
-        assert fused_conv_supported((2, 64, 64, 320), (3, 3, 320, 320),
+        assert fused_conv_supported((2, 32, 32, 640), (3, 3, 640, 640),
                                     jnp.bfloat16)
         assert fused_conv_supported((2, 16, 16, 2560), (3, 3, 2560, 1280),
                                     jnp.bfloat16)
+        # C=320 (l0): Mosaic sliced-DMA lane rule — stays on XLA
+        assert not fused_conv_supported((2, 64, 64, 320), (3, 3, 320, 320),
+                                        jnp.bfloat16)
         # l3 8x8: W % 16 != 0
         assert not fused_conv_supported((2, 8, 8, 1280), (3, 3, 1280, 1280),
                                         jnp.bfloat16)
