@@ -259,18 +259,27 @@ def _pick_tiles(h_img, w_img, c, n, itemsize):
 def fused_conv_enabled(mode: str = "auto", interpret: bool = False) -> bool:
     """Dispatch decision (shape gate is ``fused_conv_supported``).
 
-    ``SD_TPU_FUSED_CONV``: ``0``/``off`` disables everywhere, ``1``/``force``
-    enables wherever supported; default ``auto`` = TPU only (measured faster
-    in-context r3 — tools/exp_fused_conv.py).
+    MEASURED IN-CONTEXT LOSS (v5e, r3 — tools/exp_fused_conv.py): the CFG
+    UNet step runs 111.3 ms with this kernel dispatched at every supported
+    site vs 107.0 ms on XLA. Two causes, isolated with
+    tools/exp_fused_kernel_tpu.py + tools/profile_op.py:
+    (1) XLA lays activations out as {3,0,2,1} (batch on sublanes) and its
+        conv emitter runs 83-100% of the padded-FLOP bound in-context
+        (0.63 ms at l1 incl. fused GN stats); the Pallas boundary forces
+        row-major operands, inserting layout copies both ways per call;
+    (2) even ignoring copies, the 9-dot kernel's best standalone time
+        (~0.85 ms at l1 after subtracting the ~1 ms dispatch bias) does not
+        beat XLA's in-context conv.
+    Dispatch is therefore OFF by default — the same evidence-based policy
+    as the Winograd kernel. ``SD_TPU_FUSED_CONV=1``/``force`` re-enables
+    for experiments; the kernel stays parity-tested and differentiable.
     """
     env = os.environ.get("SD_TPU_FUSED_CONV", "auto")
     if env in ("0", "off") or mode == "off":
         return False
     if interpret:
         return True
-    if env in ("1", "force") or mode == "force":
-        return True
-    return jax.devices()[0].platform == "tpu"
+    return env in ("1", "force") or mode == "force"
 
 
 def fused_conv_supported(x_shape, w_shape, dtype) -> bool:
