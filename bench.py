@@ -1,9 +1,13 @@
 """Benchmark: images/sec/chip for 512² 50-step PLMS txt2img (SD v1.4 shapes).
 
 Runs the flagship compute graph — 50 PLMS steps of the CFG-doubled 860M UNet
-followed by the kl-f8 VAE decode — with bf16 params (values are irrelevant to
-throughput; no released checkpoint ships in this environment). Prints ONE
-JSON line.
+followed by the kl-f8 VAE decode — with RANDOM bf16 params (no released
+checkpoint ships in this environment; param VALUES don't affect MXU timing,
+but param STRUCTURE does: with all-zero params closed over as constants,
+XLA's CSE merges the structurally identical to_q/to_k/to_v projections into
+one conv and deletes ~2-3 ms/step of real work — verified in the r3 HLO dump
+where the flash kernel's q and v operands aliased the same instruction).
+Prints ONE JSON line.
 
 Implementation notes for THIS environment's remote-compile TPU tunnel (each
 XLA compile costs minutes of RPC regardless of program size):
@@ -37,12 +41,18 @@ STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 ITERS = int(os.environ.get("BENCH_ITERS", "2"))
 
 
-def zeros_params(model, *args):
+def random_params(model, *args, seed=0):
+    """Random bf16 params — NOT zeros: all-zero constants let XLA CSE away
+    structurally identical branches (q/k/v projections), understating time."""
     shapes = jax.eval_shape(lambda k: model.init(k, *args), jax.random.PRNGKey(0))
-    return jax.tree.map(
-        lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
-        shapes,
-    )["params"]
+    leaves, treedef = jax.tree.flatten(shapes["params"])
+    key = jax.random.PRNGKey(seed)
+    out = []
+    for i, s in enumerate(leaves):
+        dt = jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
+        out.append(0.02 * jax.random.normal(jax.random.fold_in(key, i),
+                                            s.shape, dt))
+    return jax.tree.unflatten(treedef, out)
 
 
 def main():
@@ -65,12 +75,13 @@ def main():
     x0 = jnp.zeros((2 * b, 64, 64, 4), jnp.bfloat16)
     t0_ = jnp.zeros((2 * b,), jnp.float32)
     c0 = jnp.zeros((2 * b, 77, 768), jnp.bfloat16)
-    unet_params = zeros_params(unet, x0, t0_, c0)
+    unet_params = random_params(unet, x0, t0_, c0)
 
     decoder = Decoder(ch=128, out_ch=3, ch_mult=[1, 2, 4, 4], num_res_blocks=2,
                       attn_resolutions=[], resolution=512, z_channels=4,
                       dtype=jnp.bfloat16)
-    dec_params = zeros_params(decoder, jnp.zeros((b, 64, 64, 4), jnp.bfloat16))
+    dec_params = random_params(decoder, jnp.zeros((b, 64, 64, 4), jnp.bfloat16),
+                               seed=1)
 
     idx = np.arange(STEPS)[::-1]
     t_seq = tables.timesteps[idx].astype(np.float32)
@@ -79,12 +90,15 @@ def main():
     s1m_seq = tables.sqrt_one_minus_alphas[idx]
 
     @jax.jit
-    def plms_step(x, ctx2, t_scalar, a, ap, s1m, old_eps, order):
+    def plms_step(up, x, ctx2, t_scalar, a, ap, s1m, old_eps, order):
         """One PLMS step: CFG-doubled UNet + Adams-Bashforth update.
-        Same math as sd_tpu/samplers/plms.py; order is traced (0..3)."""
+        Same math as sd_tpu/samplers/plms.py; order is traced (0..3).
+        Params are a jit ARGUMENT (not a closure constant) so XLA cannot
+        CSE structurally identical projections — matches production, where
+        checkpoints are runtime params."""
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.full((2 * b,), t_scalar)
-        e = unet.apply({"params": unet_params}, x2.astype(jnp.bfloat16), t2,
+        e = unet.apply({"params": up}, x2.astype(jnp.bfloat16), t2,
                        ctx2).astype(jnp.float32)
         e_u, e_c = jnp.split(e, 2, axis=0)
         e_t = e_u + 7.5 * (e_c - e_u)
@@ -100,8 +114,8 @@ def main():
         return x_prev, new_old
 
     @jax.jit
-    def decode(z):
-        img = decoder.apply({"params": dec_params}, (z / 0.18215).astype(jnp.bfloat16))
+    def decode(dp, z):
+        img = decoder.apply({"params": dp}, (z / 0.18215).astype(jnp.bfloat16))
         return jnp.clip((img.astype(jnp.float32) + 1) / 2, 0, 1)
 
     def run(rng, ctx2):
@@ -109,9 +123,9 @@ def main():
         old = jnp.zeros((3, b, 64, 64, 4))
         for i in range(STEPS):
             order = min(i, 3)
-            x, old = plms_step(x, ctx2, t_seq[i], a_seq[i], ap_seq[i],
-                               s1m_seq[i], old, order)
-        return decode(x)
+            x, old = plms_step(unet_params, x, ctx2, t_seq[i], a_seq[i],
+                               ap_seq[i], s1m_seq[i], old, order)
+        return decode(dec_params, x)
 
     ctx2 = jnp.zeros((2 * b, 77, 768), jnp.bfloat16)  # CLIP output shape
 

@@ -89,6 +89,19 @@ def bench_sites(impls):
     print(json.dumps(out))
 
 
+def random_leaves(shapes, seed=7):
+    """Random bf16 params — NOT zeros: all-zero constants let XLA CSE
+    structurally identical branches (to_q/to_k/to_v merge into one conv),
+    deleting real work from whatever is being timed."""
+    leaves, treedef = jax.tree.flatten(shapes)
+    key = jax.random.PRNGKey(seed)
+    return jax.tree.unflatten(treedef, [
+        0.02 * jax.random.normal(
+            jax.random.fold_in(key, i), s.shape,
+            jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype)
+        for i, s in enumerate(leaves)])
+
+
 def build_unet():
     from sd_tpu.models.unet import UNetConfig, UNetModel
 
@@ -101,12 +114,10 @@ def build_unet():
     unet = UNetModel(config=cfg, dtype=jnp.bfloat16)
     x0 = jnp.zeros((B, 64, 64, 4), jnp.bfloat16)
     t0 = jnp.zeros((B,), jnp.float32)
-    c0 = jnp.zeros((B, 77, 768), jnp.bfloat16)
+    c0 = 0.02 * jax.random.normal(jax.random.PRNGKey(8), (B, 77, 768),
+                                  jnp.bfloat16)
     shapes = jax.eval_shape(lambda k: unet.init(k, x0, t0, c0), jax.random.PRNGKey(0))
-    params = jax.tree.map(
-        lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
-        shapes,
-    )["params"]
+    params = random_leaves(shapes)["params"]
     return unet, params, x0, t0, c0
 
 
@@ -126,16 +137,13 @@ def bench_unet_noattn():
     x0 = jnp.zeros((B, 64, 64, 4), jnp.bfloat16)
     t0 = jnp.zeros((B,), jnp.float32)
     shapes = jax.eval_shape(lambda k: unet.init(k, x0, t0), jax.random.PRNGKey(0))
-    params = jax.tree.map(
-        lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
-        shapes,
-    )["params"]
+    params = random_leaves(shapes)["params"]
 
     @jax.jit
-    def step(x):
-        return unet.apply({"params": params}, x, t0).astype(jnp.bfloat16)
+    def jstep(x, p):
+        return unet.apply({"params": p}, x, t0).astype(jnp.bfloat16)
 
-    ms = time_chain(step, x0, iters=15, reps=2)
+    ms = time_chain(lambda x: jstep(x, params), x0, iters=15, reps=2)
     print(f"unet/noattn  {ms:8.2f} ms per CFG step (pure conv/resblock path)")
     print(json.dumps({"noattn": round(ms, 2)}))
 
@@ -198,12 +206,16 @@ def bench_unet(variants):
         attn_mod.dot_product_attention = make_patched(attn_kind)
 
         @jax.jit
-        def step(x):
-            e = unet.apply({"params": params}, x, t0, c0)
+        def jstep(x, p, c):
+            # params/context are jit ARGS (not closures): closed-over
+            # constants get inlined and CSE'd (q/k/v merge), and large
+            # random closures blow up the remote-compile payload.
+            e = unet.apply({"params": p}, x, t0, c)
             return e.astype(jnp.bfloat16)
 
         try:
-            ms = time_chain(step, x0, iters=15, reps=2)
+            ms = time_chain(lambda x: jstep(x, params, c0), x0,
+                            iters=15, reps=2)
         except Exception as e:
             print(f"unet/{kind}: FAIL {type(e).__name__}: {str(e)[:160]}",
                   flush=True)

@@ -7,9 +7,14 @@ the HLO and compute the lane-padded MXU bound at 197 TFLOP/s bf16. The
 output is the airtight floor argument the 4x target discussion needs
 (VERDICT r3 #1 fallback): measured vs bound, per site, summed.
 
-Usage: python tools/floor_table.py [> table.txt]
+Usage:
+  python tools/floor_table.py            # capture (chip) + join, prints table
+  python tools/floor_table.py capture    # compile+profile only; saves
+                                         #   /tmp/floor_hlo.txt, /tmp/floor_rows.json
+  python tools/floor_table.py join       # re-join saved artifacts (no chip)
 """
 
+import json
 import math
 import os
 import re
@@ -59,35 +64,68 @@ def parse_trace(logdir):
 _SHAPE = re.compile(r"(bf16|f32)\[([\d,]*)\]")
 
 
-def conv_bound_from_hlo(body: str):
-    """Padded-FLOP bound of the convolutions/dots inside one fusion body."""
+def _first_shape(line):
+    m = _SHAPE.search(line)
+    return [int(v) for v in m.group(2).split(",") if v] if m else None
+
+
+def conv_bound_from_body(body: str, defs):
+    """(padded-bound ms, class) of the convolutions inside one fusion body.
+
+    Operands in this HLO dump are bare ``%name`` references (no inline
+    types), so shapes resolve through ``defs`` (global name -> definition
+    line). ``dim_labels`` drives the MACs: rows = prod(out dims != 'f'),
+    K = prod(rhs dims != 'o') lane-padded, N = rhs 'o' dims lane-padded —
+    valid for spatial convs (b01f_01io->b01f) and the plain matmuls XLA
+    lowers to 1-D convs (0bf_io0->0bf). XLA also encodes batched attention
+    einsums and head-split projections as convs with ``lhs_dilate`` /
+    ``rhs_reversal`` / asymmetric pads — the MAC formula does NOT apply
+    there (the striding discards most taps), so those rows are classed
+    ``attn-matmul`` with no bound; PARITY's attention roofline covers them.
+    """
     flops = 0.0
-    for m in re.finditer(
-            r"= \S+ (convolution|dot)\(([^)]*)\)[^\n]*", body):
-        line = m.group(0)
-        shapes = _SHAPE.findall(line)
-        if len(shapes) < 3:
+    klass = None
+    for line in body.splitlines():
+        cm = re.search(r"= \S+ convolution\(([^)]*)\)", line)
+        if not cm:
             continue
-        out_s = [int(v) for v in shapes[0][1].split(",") if v]
-        lhs_s = [int(v) for v in shapes[1][1].split(",") if v]
-        rhs_s = [int(v) for v in shapes[2][1].split(",") if v]
-        if m.group(1) == "convolution":
-            dnums = re.search(r"dim_labels=(\S+)", line)
-            # NHWC/HWIO assumed (repo convention); K = kh*kw*cin
-            if len(rhs_s) == 4 and len(out_s) == 4:
-                kh, kw, cin, cout = rhs_s
-                mrows = out_s[0] * out_s[1] * out_s[2]
-                flops += 2 * mrows * pad128(kh * kw * cin) * pad128(cout)
-        else:  # dot: use trailing dims heuristic [.., M, K] x [.., K, N]
-            mrows = lhs_s[-2]
-            k = lhs_s[-1]
-            n = rhs_s[-1]
-            batch = max(1, math.prod(out_s[:-2]) if len(out_s) > 2 else 1)
-            flops += 2 * batch * mrows * pad128(k) * pad128(n)
-    return flops / TFLOPS * 1e3  # ms
+        if re.search(r"lhs_dilate|rhs_reversal", line):
+            return 0.0, "attn-matmul"
+        dl = re.search(r"dim_labels=([\w]+)_([\w]+)->([\w]+)", line)
+        out_s = _first_shape(line)
+        args = [a.strip().lstrip("%") for a in cm.group(1).split(",")]
+        if dl is None or out_s is None or len(args) < 2:
+            continue
+        rhs_s = _first_shape(defs.get(args[1], ""))
+        if rhs_s is None:
+            continue
+        rhs_spec, out_spec = dl.group(2), dl.group(3)
+        spatial = sum(ch.isdigit() for ch in rhs_spec if ch not in "io")
+        mrows = math.prod(
+            out_s[i] for i, ch in enumerate(out_spec) if ch != "f")
+        k = math.prod(rhs_s[i] for i, ch in enumerate(rhs_spec) if ch != "o")
+        n = math.prod(rhs_s[i] for i, ch in enumerate(rhs_spec) if ch == "o")
+        flops += 2 * mrows * pad128(k) * pad128(n)
+        kh = math.prod(rhs_s[i] for i, ch in enumerate(rhs_spec)
+                       if ch.isdigit())
+        klass = "conv" if kh > 1 else "matmul"
+    return flops / TFLOPS * 1e3, klass  # ms
 
 
-def main():
+def short_name(line):
+    m = re.search(r'op_name="jit\(step\)/(?:UNetModel/)*(?:UNetModel\._apply_layer/)?([^"]+)"', line)
+    if not m:
+        return ""
+    s = m.group(1)
+    return re.sub(r"/(dot_general|conv_general_dilated|reduce_sum|add|convert_element_type)$", "", s)
+
+
+HLO_PATH = "/tmp/floor_hlo.txt"
+ROWS_PATH = "/tmp/floor_rows.json"
+
+
+def capture():
+    """Compile the CFG UNet step, profile 4 iters, save HLO + op-rows."""
     from sd_tpu.models.unet import UNetConfig, UNetModel
 
     cfg = UNetConfig.from_dict(dict(
@@ -103,24 +141,46 @@ def main():
     c0 = jnp.zeros((B, 77, 768), jnp.bfloat16)
     shapes = jax.eval_shape(lambda k: unet.init(k, x0, t0, c0),
                             jax.random.PRNGKey(0))
+    # Params are JIT ARGUMENTS, not closed-over constants. Closed-over
+    # zeros get inlined as constants and XLA's CSE then merges structurally
+    # identical branches — in the r3 zero-param HLO dump the flash kernel's
+    # q and v operands aliased the SAME instruction (to_v's projection was
+    # deleted), understating the conv path. As runtime parameters the
+    # values can't be assumed equal, matching how production runs (real
+    # checkpoints are runtime params). Zeros are fine as the actual values.
     params = jax.tree.map(
         lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.dtype == jnp.float32
                             else s.dtype), shapes)["params"]
 
     @jax.jit
-    def step(x):
-        return unet.apply({"params": params}, x, t0, c0).astype(jnp.bfloat16)
+    def step(x, p, c):
+        return unet.apply({"params": p}, x, t0, c).astype(jnp.bfloat16)
 
-    lowered = step.lower(x0)
+    lowered = step.lower(x0, params, c0)
     compiled = lowered.compile()
     hlo = compiled.as_text()
 
-    # map each top-level instruction name -> its (inlined) fusion body
-    bodies = {}
-    cur = None
-    for m in re.finditer(r"^%?(\S+?) \(.*?\) -> .*?{$|^\}", hlo, re.M):
-        pass  # computations parsed below
+    # profile
+    sync(step(x0, params, c0))
+    logdir = tempfile.mkdtemp(prefix="floor_")
+    x = x0
+    jax.profiler.start_trace(logdir)
+    for _ in range(4):
+        x = step(x, params, c0)
+    sync(x)
+    jax.profiler.stop_trace()
+    rows = parse_trace(logdir)
 
+    with open(HLO_PATH, "w") as f:
+        f.write(hlo)
+    with open(ROWS_PATH, "w") as f:
+        json.dump(rows, f)
+    print(f"captured: {len(hlo)} HLO chars -> {HLO_PATH}, "
+          f"{len(rows)} op rows -> {ROWS_PATH}", file=sys.stderr)
+    return hlo, rows
+
+
+def join(hlo, rows):
     # split into computations
     comps = {}
     for m in re.finditer(
@@ -128,57 +188,66 @@ def main():
             hlo, re.M | re.S):
         comps[m.group(1)] = m.group(2)
 
-    # fusion instr -> called computation
+    # global name -> definition line (works across computations; fusion
+    # result types may be tuples, so never regex the type token)
+    defs = {}
+    for line in hlo.splitlines():
+        ls = line.strip()
+        if ls.startswith("%") and " = " in ls:
+            defs[ls.split(" = ", 1)[0].lstrip("%")] = ls
+
+    # fusion instr -> called computation; bare convolutions map to None
     fusion_calls = {}
-    for cname, body in comps.items():
-        for m in re.finditer(
-                r"%?([\w\.\-]+) = \S+ fusion\([^)]*\).*?calls=%?([\w\.\-]+)",
-                body):
-            fusion_calls[m.group(1)] = m.group(2)
-        for m in re.finditer(
-                r"%?([\w\.\-]+) = \S+ (convolution)\(", body):
-            fusion_calls.setdefault(m.group(1), None)
+    for name, line in defs.items():
+        if re.search(r"\bfusion\(", line):
+            m = re.search(r"calls=%?([\w\.\-]+)", line)
+            if m:
+                fusion_calls[name] = m.group(1)
+        elif re.search(r"\bconvolution\(", line):
+            fusion_calls.setdefault(name, None)
 
-    # profile
-    sync(step(x0))
-    logdir = tempfile.mkdtemp(prefix="floor_")
-    x = x0
-    jax.profiler.start_trace(logdir)
-    for _ in range(4):
-        x = step(x)
-    sync(x)
-    jax.profiler.stop_trace()
-    rows = parse_trace(logdir)
-
-    total_ms = total_bound = 0.0
     out = []
+    attn_ms = 0.0
+    totals = defaultdict(lambda: [0.0, 0.0])  # class -> [ms, bound]
     for name, ms in rows.items():
         ms /= 4
-        called = fusion_calls.get(name)
-        if called is None and name not in fusion_calls:
+        if name not in fusion_calls:
             continue
-        body = comps.get(called, "") if called else ""
-        if not body:
-            # bare convolution at top level: find its own line
-            for cbody in comps.values():
-                m = re.search(rf"%?{re.escape(name)} = [^\n]+", cbody)
-                if m:
-                    body = m.group(0)
-                    break
-        bound = conv_bound_from_hlo(body)
+        called = fusion_calls[name]
+        body = comps.get(called, "") if called else defs.get(name, "")
+        bound, klass = conv_bound_from_body(body, defs)
+        if klass == "attn-matmul":
+            attn_ms += ms
+            continue
         if bound <= 0:
             continue
-        total_ms += ms
-        total_bound += bound
-        out.append((ms, bound, name))
+        totals[klass][0] += ms
+        totals[klass][1] += bound
+        out.append((ms, bound, klass, name,
+                    short_name(defs.get(name, ""))))
 
     out.sort(reverse=True)
-    print(f"{'measured':>9s} {'bound':>7s} {'eff':>5s}  op")
-    for ms, bound, name in out:
-        print(f"{ms:9.3f} {bound:7.3f} {bound / ms * 100:4.0f}%  {name[:80]}")
-    print(f"\nMXU-op total: measured {total_ms:.2f} ms, padded bound "
-          f"{total_bound:.2f} ms ({total_bound / max(total_ms, 1e-9) * 100:.0f}%)")
+    print(f"{'measured':>9s} {'bound':>7s} {'eff':>5s} {'class':>7s}  site")
+    for ms, bound, klass, name, sname in out:
+        print(f"{ms:9.3f} {bound:7.3f} {bound / ms * 100:4.0f}% {klass:>7s}"
+              f"  {sname[:70] or name[:70]}")
+    for klass, (ms, bound) in sorted(totals.items()):
+        print(f"\n{klass} total: measured {ms:.2f} ms, padded bound "
+              f"{bound:.2f} ms ({bound / max(ms, 1e-9) * 100:.0f}%)")
+    print(f"attn-einsum-as-conv (XLA cross-attn path, bound n/a here — "
+          f"see PARITY attention roofline): {attn_ms:.2f} ms")
     print(f"whole step: see jit_step line in tools/trace_summary.py")
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode in ("capture", "all"):
+        hlo, rows = capture()
+    if mode == "join":
+        hlo = open(HLO_PATH).read()
+        rows = json.load(open(ROWS_PATH))
+    if mode in ("join", "all"):
+        join(hlo, rows)
 
 
 if __name__ == "__main__":
