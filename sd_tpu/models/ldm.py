@@ -384,6 +384,33 @@ class LatentDiffusion:
         weights is just binding the shadow pytree — no store/copy/restore."""
         return dataclasses.replace(self, unet_params=unet_params)
 
+    # --------------------------------------------- params as jit ARGUMENTS
+    # Never close the param bundle over a jitted program: XLA embeds closures
+    # as literal constants, which (a) balloons the program body to the full
+    # checkpoint size — the remote-compile tunnel rejects flagship programs
+    # outright (HTTP 413) and any real deployment recompiles per checkpoint,
+    # and (b) lets CSE merge structurally identical weights (measured: zero
+    # params deleted ~6 ms/step of real work from the r2 bench). Pipelines
+    # fetch `runtime_params()` at call time and rebind inside the traced fn
+    # with `bind_params` — which also makes checkpoint/EMA hot-swap free.
+
+    PARAM_FIELDS = ("unet_params", "first_stage_params", "cond_stage_params")
+
+    def runtime_params(self, *fields: str) -> Dict[str, Any]:
+        """Live param pytrees keyed by field name, for passing as jit args.
+
+        With no ``fields``, returns every non-None param bundle (the tiled /
+        bbox paths may touch all three stages inside one program); pass field
+        names to scope a program to just what it uses.
+        """
+        names = fields or self.PARAM_FIELDS
+        return {f: getattr(self, f) for f in names
+                if getattr(self, f) is not None}
+
+    def bind_params(self, params: Dict[str, Any]) -> "LatentDiffusion":
+        """Rebind (traced) param pytrees — the inside-jit half of the pair."""
+        return dataclasses.replace(self, **params)
+
     def make_quantize_fn(self) -> Optional[Callable]:
         """x0-quantization hook for the samplers' ``quantize_x0``
         (``ddim.py:197-198``): pass pred_x0 through the VQ codebook."""

@@ -82,28 +82,30 @@ class Img2ImgPipeline:
 
         t_enc = int(strength * steps)  # img2img.py:239-241
         # one compiled program per (steps, t_enc, scale): VAE encode ->
-        # stochastic encode -> DDIM decode -> image decode
+        # stochastic encode -> DDIM decode -> image decode. Params flow in
+        # as jit args (never closure constants — see Txt2ImgPipeline notes).
         key = ("img2img", steps, t_enc, float(guidance_scale))
 
         def build():
-            def run(x, cond, uncond, k_enc, k_noise, k_dec):
-                init_latent = ldm.encode_to_latent(x, rng=k_enc)
+            def run(p, x, cond, uncond, k_enc, k_noise, k_dec):
+                m = ldm.bind_params(p)
+                init_latent = m.encode_to_latent(x, rng=k_enc)
                 if t_enc == 0:
-                    return latents_to_images(ldm, init_latent)
+                    return latents_to_images(m, init_latent)
                 z_enc = ddim_stochastic_encode(
-                    ldm.schedule, init_latent, t_enc - 1, k_noise,
+                    m.schedule, init_latent, t_enc - 1, k_noise,
                     num_steps=steps)
                 z = ddim_decode(
-                    ldm.apply_model, ldm.schedule, z_enc, cond, t_enc,
+                    m.apply_model, m.schedule, z_enc, cond, t_enc,
                     num_steps=steps, uncond=uncond,
                     guidance_scale=guidance_scale, rng=k_dec)
-                return latents_to_images(ldm, z)
+                return latents_to_images(m, z)
 
             return jax.jit(run)
 
         images = np.asarray(jax.device_get(
-            cached_jit(self, key, build)(x, cond, uncond, k_enc, k_noise,
-                                         k_dec)))
+            cached_jit(self, key, build)(ldm.runtime_params(), x, cond,
+                                         uncond, k_enc, k_noise, k_dec)))
         return (images * 255.0 + 0.5).astype(np.uint8)
 
 
@@ -138,21 +140,22 @@ class InpaintPipeline:
         # one compiled program per step count (shapes auto-retrace):
         # cond-encode -> DDIM sample -> decode -> composite (inpaint.py:76-98)
         def build():
-            def run(img, masked, m_full, m_lat, rng):
-                c_img = ldm.get_first_stage_encoding(
-                    ldm.encode_first_stage(masked))
+            def run(p, img, masked, m_full, m_lat, rng):
+                m = ldm.bind_params(p)
+                c_img = m.get_first_stage_encoding(
+                    m.encode_first_stage(masked))
                 cond = {"c_concat": jnp.concatenate([c_img, m_lat], axis=-1)}
                 shape = (1, c_img.shape[1], c_img.shape[2], c_img.shape[3])
                 z, _ = ddim_sample(
-                    ldm.apply_model, ldm.schedule, shape, cond, rng,
+                    m.apply_model, m.schedule, shape, cond, rng,
                     num_steps=steps)
-                pred = latents_to_images(ldm, z)
+                pred = latents_to_images(m, z)
                 img01 = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
                 return (1.0 - m_full) * img01 + m_full * pred
 
             return jax.jit(run)
 
         out = cached_jit(self, ("inpaint", steps), build)(
-            img, masked, m_full, m_lat, rng)
+            ldm.runtime_params(), img, masked, m_full, m_lat, rng)
         out = np.asarray(jax.device_get(out))
         return (out * 255.0 + 0.5).astype(np.uint8)

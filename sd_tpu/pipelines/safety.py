@@ -99,14 +99,35 @@ class SafetyChecker:
         return c
 
     def nsfw_scores(self, images_01) -> jnp.ndarray:
-        """[B,H,W,3] in [0,1] -> boolean NSFW flags [B]."""
-        x = clip_image_preprocess(images_01 * 2.0 - 1.0)
-        emb = self.model.apply({"params": self.vision_params}, x)["image_embeds"]
-        special = _cosine(emb, self.special_care_embeds) - self.special_care_thresholds
-        has_special = jnp.any(special > 0, axis=1)
-        adj = jnp.where(has_special, 0.01, 0.0)[:, None] + self.adjustment
-        concept = _cosine(emb, self.concept_embeds) - self.concept_thresholds + adj
-        return jnp.any(concept > 0, axis=1)
+        """[B,H,W,3] in [0,1] -> boolean NSFW flags [B].
+
+        One compiled program (cached on the instance, retraces per image
+        shape); the vision tower + concept tables ride as jit ARGUMENTS —
+        closing a ViT-L over jit would embed 300M constants (see
+        LatentDiffusion.runtime_params rationale), and eager dispatch pays
+        the ~50 ms RPC floor per op through the TPU tunnel."""
+        from sd_tpu.pipelines._jit import cached_jit
+
+        def build():
+            def run(p, images_01):
+                x = clip_image_preprocess(images_01 * 2.0 - 1.0)
+                emb = self.model.apply(
+                    {"params": p["vision"]}, x)["image_embeds"]
+                special = _cosine(emb, p["special_embeds"]) - p["special_thr"]
+                has_special = jnp.any(special > 0, axis=1)
+                adj = (jnp.where(has_special, 0.01, 0.0)[:, None]
+                       + self.adjustment)
+                concept = _cosine(emb, p["concept_embeds"]) - p["concept_thr"] + adj
+                return jnp.any(concept > 0, axis=1)
+
+            return jax.jit(run)
+
+        p = {"vision": self.vision_params,
+             "concept_embeds": self.concept_embeds,
+             "concept_thr": self.concept_thresholds,
+             "special_embeds": self.special_care_embeds,
+             "special_thr": self.special_care_thresholds}
+        return cached_jit(self, "nsfw_scores", build)(p, images_01)
 
     def __call__(self, images_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """uint8 [B,H,W,3] -> (checked images, has_nsfw flags). Flagged

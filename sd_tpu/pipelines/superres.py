@@ -87,20 +87,21 @@ class SuperResPipeline:
         ldm = self.ldm
 
         def build():
-            def run(cond_img, rng):
+            def run(p, cond_img, rng):
+                m = ldm.bind_params(p)
                 n, h, w, _ = cond_img.shape
                 # the SR LDM diffuses in an f(vqf) latent over the OUTPUT
                 # resolution; for bsr_sr up_f == vqf == 4 -> latent hw == LR hw
                 shape = (n, h * self.up_f // self.vqf,
                          w * self.up_f // self.vqf,
-                         ldm.unet.config.out_channels)
+                         m.unet.config.out_channels)
                 cond = {"c_concat": jax.image.resize(
                     cond_img, (n,) + shape[1:3] + (3,), method="bicubic")}
-                z, _ = ddim_sample(ldm.apply_model, ldm.schedule, shape, cond,
+                z, _ = ddim_sample(m.apply_model, m.schedule, shape, cond,
                                    rng, num_steps=steps, eta=eta)
-                return ldm.decode_first_stage(z)
+                return m.decode_first_stage(z)
 
             return jax.jit(run)
 
         return cached_jit(self, ("sr_sample", steps, float(eta)), build)(
-            cond_img, rng)
+            ldm.runtime_params(), cond_img, rng)

@@ -54,36 +54,53 @@ class Txt2ImgPipeline:
     # measured via scripts/serve.py). Each distinct static configuration
     # (sampler, resolution, steps, scale, eta, arg presence) compiles once;
     # conditioning/rng/x_T flow in as traced arguments.
+    #
+    # Model params ALSO flow in as traced arguments (fetched fresh from
+    # self.ldm at every call): closing the 860M-param bundle over jit embeds
+    # it as literal constants — a multi-GB program body the remote-compile
+    # tunnel rejects (HTTP 413) and a CSE hazard (see LatentDiffusion
+    # .runtime_params). Side benefit: checkpoint/EMA hot-swap never
+    # recompiles — rebind self.ldm and the cached programs pick it up.
 
     def _get_jit(self, key, builder):
         from sd_tpu.pipelines._jit import cached_jit
 
         return cached_jit(self, key, builder)
 
+    def _sample_params(self):
+        """Param bundles the sampler program needs: the UNet always; every
+        stage when the tiled/bbox path may re-encode inside the program."""
+        if self.ldm.split_input_params is not None:
+            return self.ldm.runtime_params()
+        return self.ldm.runtime_params("unet_params")
+
     def _make_sample_jit(self, sampler, height, width, steps, scale, eta,
                          has_uncond, has_xt):
-        def run(cond, uncond, rng, x_T):
+        def run(p, cond, uncond, rng, x_T):
             return self.sample_latents(
                 cond, uncond, rng, height=height, width=width, steps=steps,
-                guidance_scale=scale, sampler=sampler, eta=eta, x_T=x_T)
+                guidance_scale=scale, sampler=sampler, eta=eta, x_T=x_T,
+                params=p)
 
         if has_uncond and has_xt:
             f = jax.jit(run)
-            return lambda c, u, r, x: f(c, u, r, x)
+            return lambda p, c, u, r, x: f(p, c, u, r, x)
         if has_uncond:
-            f = jax.jit(lambda c, u, r: run(c, u, r, None))
-            return lambda c, u, r, x: f(c, u, r)
+            f = jax.jit(lambda p, c, u, r: run(p, c, u, r, None))
+            return lambda p, c, u, r, x: f(p, c, u, r)
         if has_xt:
-            f = jax.jit(lambda c, r, x: run(c, None, r, x))
-            return lambda c, u, r, x: f(c, r, x)
-        f = jax.jit(lambda c, r: run(c, None, r, None))
-        return lambda c, u, r, x: f(c, r)
+            f = jax.jit(lambda p, c, r, x: run(p, c, None, r, x))
+            return lambda p, c, u, r, x: f(p, c, r, x)
+        f = jax.jit(lambda p, c, r: run(p, c, None, r, None))
+        return lambda p, c, u, r, x: f(p, c, r)
 
     def encode_prompts(self, prompts: Sequence[str]) -> jnp.ndarray:
         tokens = jnp.asarray(self.tokenizer(list(prompts)))
         encode = self._get_jit(
-            "encode", lambda: jax.jit(self.ldm.get_learned_conditioning))
-        return encode(tokens)
+            "encode", lambda: jax.jit(
+                lambda p, tok: self.ldm.bind_params(p)
+                .get_learned_conditioning(tok)))
+        return encode(self.ldm.runtime_params("cond_stage_params"), tokens)
 
     def sample_latents(
         self,
@@ -97,20 +114,22 @@ class Txt2ImgPipeline:
         sampler: str = "plms",
         eta: float = 0.0,
         x_T=None,
+        params=None,
     ):
+        ldm = self.ldm if params is None else self.ldm.bind_params(params)
         b = cond.shape[0] if hasattr(cond, "shape") else jax.tree.leaves(cond)[0].shape[0]
         shape = (b, height // self.downsample, width // self.downsample,
                  self.latent_channels)
         common = dict(cond=cond, uncond=uncond, guidance_scale=guidance_scale,
                       rng=rng, x_T=x_T)
         if sampler == "plms":
-            z, _ = plms_sample(self.ldm.apply_model, self.ldm.schedule, shape,
+            z, _ = plms_sample(ldm.apply_model, ldm.schedule, shape,
                                num_steps=steps, **common)
         elif sampler == "ddim":
-            z, _ = ddim_sample(self.ldm.apply_model, self.ldm.schedule, shape,
+            z, _ = ddim_sample(ldm.apply_model, ldm.schedule, shape,
                                num_steps=steps, eta=eta, **common)
         elif sampler in ("dpm", "dpm_solver", "dpmsolver"):
-            z = dpm_solver_sample(self.ldm.apply_model, self.ldm.schedule, shape,
+            z = dpm_solver_sample(ldm.apply_model, ldm.schedule, shape,
                                   num_steps=steps, **common)
         else:
             raise ValueError(f"unknown sampler {sampler!r}")
@@ -143,11 +162,11 @@ class Txt2ImgPipeline:
         sample = self._get_jit(skey, lambda: self._make_sample_jit(
             sampler, height, width, steps, guidance_scale, eta,
             uncond is not None, x_T is not None))
-        z = sample(cond, uncond, rng, x_T)
+        z = sample(self._sample_params(), cond, uncond, rng, x_T)
         decode = self._get_jit(
             "decode", lambda: jax.jit(
-                lambda z: latents_to_images(self.ldm, z)))
-        images = decode(z)
+                lambda p, z: latents_to_images(self.ldm.bind_params(p), z)))
+        images = decode(self.ldm.runtime_params("first_stage_params"), z)
         images = np.asarray(jax.device_get(images))
         images_u8 = (images * 255.0 + 0.5).astype(np.uint8)
         if self.safety_checker is not None:

@@ -248,3 +248,57 @@ def test_txt2img_cli_applies_safety_and_watermark(tmp_path):
     # 64x64 has capacity for the first 8 payload bytes (full 136-bit payload
     # fits at >=128x128; production output is 512x512)
     assert decoded[:8] == WATERMARK_PAYLOAD[:8]
+
+
+def test_pipeline_params_are_runtime_args_hot_swap(tiny_pipe):
+    """Params must flow into the cached compiled programs as jit ARGUMENTS,
+    not closure constants: closing the flagship 860M bundle over jit embeds
+    multi-GB literals (the remote-compile tunnel rejects the program with
+    HTTP 413) and lets CSE delete real work (measured ~6 ms/step with zero
+    params). Contract check: perturbing ldm params changes the output of the
+    ALREADY-CACHED programs — impossible if weights were baked in at trace
+    time — and no new program is compiled (cache keys unchanged)."""
+    import dataclasses
+
+    key = jax.random.PRNGKey(3)
+    a = tiny_pipe(["swap"], key, height=32, width=32, steps=2)
+    cached = dict(tiny_pipe._jit_cache)
+
+    orig_ldm = tiny_pipe.ldm
+    bump = lambda t: jax.tree.map(lambda x: x + 0.05, t)
+    tiny_pipe.ldm = dataclasses.replace(
+        orig_ldm,
+        unet_params=bump(orig_ldm.unet_params),
+        cond_stage_params=bump(orig_ldm.cond_stage_params),
+        first_stage_params=bump(orig_ldm.first_stage_params),
+    )
+    try:
+        b = tiny_pipe(["swap"], key, height=32, width=32, steps=2)
+    finally:
+        tiny_pipe.ldm = orig_ldm
+
+    # same compiled programs served both calls...
+    assert list(tiny_pipe._jit_cache.keys()) == list(cached.keys())
+    for k, v in cached.items():
+        assert tiny_pipe._jit_cache[k] is v
+    # ...yet the weights took effect at call time
+    assert not np.array_equal(a, b)
+    # and the swap back is live too (seed-reproducible baseline)
+    c = tiny_pipe(["swap"], key, height=32, width=32, steps=2)
+    assert np.array_equal(a, c)
+
+
+def test_safety_checker_tables_are_runtime_args():
+    """Concept tables/thresholds ride as jit args: arming or tightening the
+    checker after the program is cached must take effect without rebuild."""
+    from sd_tpu.pipelines.safety import SafetyChecker
+
+    chk = SafetyChecker.untrained(jax.random.PRNGKey(0))
+    imgs = np.random.default_rng(0).integers(
+        0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    out, flags = chk(imgs)
+    assert not any(flags) and np.array_equal(out, imgs)
+    # tighten thresholds to always-flag on the SAME cached program
+    chk.concept_thresholds = jnp.full((17,), -2.0)
+    out2, flags2 = chk(imgs)
+    assert all(flags2) and not np.array_equal(out2, imgs)
