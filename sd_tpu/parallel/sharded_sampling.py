@@ -32,14 +32,23 @@ def sharded_sample(
     cond,
     rng,
     uncond=None,
+    params=None,
+    param_shardings=None,
     **sampler_kwargs,
 ):
     """Run ``sampler_fn`` (ddim_sample / plms_sample / dpm_solver_sample)
     with the batch sharded over ``mesh``'s data axis.
 
     ``shape[0]`` must divide by the data-axis size. Conditioning pytrees are
-    batch-sharded alongside; params inside ``model_fn``'s closure should be
-    replicated (or device_put with TP specs) by the caller.
+    batch-sharded alongside.
+
+    Params: pass ``params`` (with ``model_fn(params, x, t, cond)``) so the
+    weights ride as jit ARGUMENTS — replicated over the mesh by default, or
+    per-leaf ``param_shardings`` for tensor-parallel layouts. A bare
+    ``model_fn(x, t, cond)`` closure still works, but closures embed weights
+    as program constants (multi-GB flagship programs, no checkpoint
+    hot-swap — see LatentDiffusion.runtime_params); only use it for small
+    models/tests.
     """
     n_data = mesh.shape["data"]
     assert shape[0] % n_data == 0, (
@@ -53,16 +62,21 @@ def sharded_sample(
 
     cond = place(cond) if cond is not None else None
     uncond = place(uncond) if uncond is not None else None
+    if params is not None:
+        shardings = param_shardings if param_shardings is not None else (
+            jax.tree.map(lambda _: replicated(mesh), params))
+        params = jax.tree.map(jax.device_put, params, shardings)
 
     out_sharding = NamedSharding(mesh, P("data", None, None, None))
 
     @partial(jax.jit, out_shardings=out_sharding)
-    def run(cond, uncond, rng):
+    def run(params, cond, uncond, rng):
+        fn = model_fn if params is None else partial(model_fn, params)
         result = sampler_fn(
-            model_fn, schedule, shape, cond, rng, uncond=uncond,
+            fn, schedule, shape, cond, rng, uncond=uncond,
             **sampler_kwargs,
         )
         return result[0] if isinstance(result, tuple) else result
 
     with mesh:
-        return run(cond, uncond, rng)
+        return run(params, cond, uncond, rng)

@@ -78,3 +78,30 @@ def test_tiled_apply_shards_patches_over_mesh():
     out_plain = tiled_apply(fn, x, ks=16, stride=8)
     np.testing.assert_allclose(np.asarray(out_sharded),
                                np.asarray(out_plain), atol=1e-5)
+
+
+def test_sharded_sample_params_as_args():
+    """The params-as-jit-args path (flagship serving: weights must NOT be
+    program constants): params replicate over the mesh, model_fn receives
+    them as its first argument, and the math matches the closure path."""
+    mesh = make_mesh(n_data=8, n_model=1)
+    cond = jnp.ones((8, 4, 8))
+    key = jax.random.PRNGKey(1)
+    w = {"gain": jnp.float32(0.3)}
+
+    def param_model(p, x, t, c):
+        base = p["gain"] * x
+        if c is not None:
+            base = base + 0.01 * jnp.mean(c, axis=-1)[:, None, None, :1]
+        return base
+
+    out = sharded_sample(
+        mesh, ddim_sample, param_model, SCHED, (8, 8, 8, 4), cond, key,
+        num_steps=4, params=w,
+    )
+    ref = sharded_sample(
+        mesh, ddim_sample, eps_model, SCHED, (8, 8, 8, 4), cond, key,
+        num_steps=4,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    assert len(out.sharding.device_set) == 8
