@@ -215,9 +215,9 @@ class Server:
             n = it["n"]
             sl = imgs[off:off + n]
             if self.watermark:
-                from sd_tpu.utils.watermark import embed_watermark
+                from sd_tpu.utils.watermark import embed_watermark_batch
 
-                sl = [embed_watermark(im) for im in sl]
+                sl = embed_watermark_batch(np.asarray(sl))
             paths = []
             for img in sl:
                 path = os.path.join(opt.outdir, f"{self.count:06}.png")

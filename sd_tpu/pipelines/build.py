@@ -105,7 +105,8 @@ def build_txt2img_pipeline(
                 jax.random.PRNGKey(0))
     effective_hw = min(min_hw, 64) if tiny else min_hw
     if watermark and effective_hw >= 32:  # DWT capacity floor
-        from sd_tpu.utils.watermark import embed_watermark
+        from sd_tpu.utils.watermark import embed_watermark_batch
 
-        pipe.watermarker = embed_watermark  # payload "StableDiffusionV1"
+        # batch contract [B,H,W,3] u8 -> same; payload "StableDiffusionV1"
+        pipe.watermarker = embed_watermark_batch
     return pipe, tiny_hw

@@ -98,19 +98,23 @@ class SafetyChecker:
         c.special_care_thresholds = jnp.full((3,), 2.0)
         return c
 
-    def nsfw_scores(self, images_01) -> jnp.ndarray:
-        """[B,H,W,3] in [0,1] -> boolean NSFW flags [B].
+    def nsfw_scores(self, images) -> jnp.ndarray:
+        """[B,H,W,3] images (float in [0,1], or uint8) -> NSFW flags [B].
 
         One compiled program (cached on the instance, retraces per image
-        shape); the vision tower + concept tables ride as jit ARGUMENTS —
-        closing a ViT-L over jit would embed 300M constants (see
-        LatentDiffusion.runtime_params rationale), and eager dispatch pays
-        the ~50 ms RPC floor per op through the TPU tunnel."""
+        shape/dtype — the u8 normalization happens IN-program, no eager
+        device ops); the vision tower + concept tables ride as jit
+        ARGUMENTS — closing a ViT-L over jit would embed 300M constants
+        (see LatentDiffusion.runtime_params rationale), and eager dispatch
+        pays the ~50 ms RPC floor per op through the TPU tunnel."""
         from sd_tpu.pipelines._jit import cached_jit
 
         def build():
-            def run(p, images_01):
-                x = clip_image_preprocess(images_01 * 2.0 - 1.0)
+            def run(p, images):
+                x = images.astype(jnp.float32)
+                if images.dtype == jnp.uint8:  # trace-time constant
+                    x = x / 255.0
+                x = clip_image_preprocess(x * 2.0 - 1.0)
                 emb = self.model.apply(
                     {"params": p["vision"]}, x)["image_embeds"]
                 special = _cosine(emb, p["special_embeds"]) - p["special_thr"]
@@ -127,17 +131,22 @@ class SafetyChecker:
              "concept_thr": self.concept_thresholds,
              "special_embeds": self.special_care_embeds,
              "special_thr": self.special_care_thresholds}
-        return cached_jit(self, "nsfw_scores", build)(p, images_01)
+        return cached_jit(self, "nsfw_scores", build)(p, images)
 
-    def __call__(self, images_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """uint8 [B,H,W,3] -> (checked images, has_nsfw flags). Flagged
-        entries are replaced (txt2img.py:88-95)."""
-        imgs01 = jnp.asarray(images_u8.astype(np.float32) / 255.0)
-        flags = np.asarray(jax.device_get(self.nsfw_scores(imgs01)))
-        out = images_u8.copy()
+    def __call__(self, images_u8) -> Tuple[np.ndarray, np.ndarray]:
+        """uint8 [B,H,W,3] (host numpy OR device array) -> (checked images,
+        has_nsfw flags). Flagged entries are replaced (txt2img.py:88-95).
+
+        Device arrays are scored IN PLACE on device — the image tensor is
+        fetched exactly once (as uint8), never round-tripped host->device."""
+        imgs = jnp.asarray(images_u8)  # no-op for device arrays
+        scores = self.nsfw_scores(imgs)
+        # one async-friendly fetch each: tiny flags + u8 images
+        flags = np.asarray(jax.device_get(scores))
+        out = np.asarray(jax.device_get(imgs)).copy()
         for i, bad in enumerate(flags):
             if bad:
-                out[i] = placeholder_image(*images_u8.shape[1:3])
+                out[i] = placeholder_image(*out.shape[1:3])
         return out, flags
 
 
