@@ -144,7 +144,7 @@ class Txt2ImgPipeline:
             raise ValueError(f"unknown sampler {sampler!r}")
         return z
 
-    def __call__(
+    def _issue(
         self,
         prompts: Sequence[str],
         rng,
@@ -156,9 +156,12 @@ class Txt2ImgPipeline:
         sampler: str = "plms",
         eta: float = 0.0,
         x_T=None,
-    ) -> np.ndarray:
-        """Returns uint8 images [B, H, W, 3]."""
-        self.last_safety_flags = None  # reset: no stale flags across calls
+    ):
+        """Dispatch one request's full device program chain asynchronously:
+        encode -> sampler scan -> decode-to-uint8 -> safety scores. Returns
+        (device images u8, device flags or None) WITHOUT synchronizing —
+        JAX queues the programs, so callers can issue request i+1 before
+        fetching request i (see :meth:`map_batches`)."""
         prompts = list(prompts)
         cond = self.encode_prompts(prompts)
         uncond = None
@@ -181,14 +184,72 @@ class Txt2ImgPipeline:
                 lambda p, z: _to_uint8(
                     latents_to_images(self.ldm.bind_params(p), z))))
         images_dev = decode(self.ldm.runtime_params("first_stage_params"), z)
-        if self.safety_checker is not None:
-            images_u8, flags = self.safety_checker(images_dev)
+        scores_dev = (self.safety_checker.nsfw_scores(images_dev)
+                      if self.safety_checker is not None else None)
+        return images_dev, scores_dev
+
+    def _finish(self, issued) -> np.ndarray:
+        """Fetch + host postprocess of an :meth:`_issue` handle: one uint8
+        image fetch, tiny flags fetch, placeholder replacement, watermark."""
+        images_dev, scores_dev = issued
+        if scores_dev is not None:
+            flags = np.asarray(jax.device_get(scores_dev))
+            images_u8 = np.asarray(jax.device_get(images_dev))
+            if flags.any():
+                from sd_tpu.pipelines.safety import placeholder_image
+
+                images_u8 = images_u8.copy()
+                for i, bad in enumerate(flags):
+                    if bad:
+                        images_u8[i] = placeholder_image(
+                            *images_u8.shape[1:3])
             # per-image flags kept for callers that report them (serve.py);
             # flagged images are already replaced by the checker contract
             self.last_safety_flags = list(map(bool, flags))
         else:
             images_u8 = np.asarray(jax.device_get(images_dev))
+            self.last_safety_flags = None
         if self.watermarker is not None:
             # batch contract: [B, H, W, 3] u8 -> [B, H, W, 3] u8
             images_u8 = self.watermarker(images_u8)
         return images_u8
+
+    def __call__(
+        self,
+        prompts: Sequence[str],
+        rng,
+        negative_prompts: Optional[Sequence[str]] = None,
+        height: int = 512,
+        width: int = 512,
+        steps: int = 50,
+        guidance_scale: float = 7.5,
+        sampler: str = "plms",
+        eta: float = 0.0,
+        x_T=None,
+    ) -> np.ndarray:
+        """Returns uint8 images [B, H, W, 3]."""
+        self.last_safety_flags = None  # reset: no stale flags across calls
+        return self._finish(self._issue(
+            prompts, rng, negative_prompts=negative_prompts, height=height,
+            width=width, steps=steps, guidance_scale=guidance_scale,
+            sampler=sampler, eta=eta, x_T=x_T))
+
+    def map_batches(self, requests, depth: int = 2):
+        """Pipelined throughput driver: yields uint8 image batches for an
+        iterable of request dicts (kwargs for :meth:`__call__`, must include
+        ``prompts`` and ``rng``), keeping up to ``depth`` requests in flight
+        so host postprocess (fetch, safety replacement, watermark, IO in the
+        caller) of batch i overlaps device execution of batch i+1 — JAX
+        dispatch is asynchronous, so issuing ahead keeps the chip busy while
+        the host works. Steady-state throughput approaches pure device time
+        (measured via tools/bench_pipeline.py). Flags for batch i are in
+        ``last_safety_flags`` at yield time, as with ``__call__``."""
+        from collections import deque
+
+        inflight = deque()
+        for req in requests:
+            inflight.append(self._issue(**req))
+            if len(inflight) >= depth:
+                yield self._finish(inflight.popleft())
+        while inflight:
+            yield self._finish(inflight.popleft())

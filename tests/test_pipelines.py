@@ -302,3 +302,16 @@ def test_safety_checker_tables_are_runtime_args():
     chk.concept_thresholds = jnp.full((17,), -2.0)
     out2, flags2 = chk(imgs)
     assert all(flags2) and not np.array_equal(out2, imgs)
+
+
+def test_map_batches_pipelined_matches_sequential(tiny_pipe):
+    """The depth-2 pipelined driver must produce byte-identical outputs to
+    sequential __call__ (same programs, same seeds — only the host/device
+    overlap differs)."""
+    reqs = [dict(prompts=[f"p{i}"], rng=jax.random.PRNGKey(i),
+                 height=32, width=32, steps=2) for i in range(3)]
+    seq = [tiny_pipe(**r) for r in reqs]
+    piped = list(tiny_pipe.map_batches(iter(reqs), depth=2))
+    assert len(piped) == 3
+    for a, b in zip(seq, piped):
+        assert np.array_equal(a, b)
