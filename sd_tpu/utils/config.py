@@ -322,6 +322,7 @@ def build_latent_diffusion(
     rng: Optional[jax.Array] = None,
     init_params: bool = True,
     state_dict: Optional[Dict[str, np.ndarray]] = None,
+    compute_dtype: Optional[jnp.dtype] = None,
 ):
     """Build a :class:`sd_tpu.models.ldm.LatentDiffusion` from a reference-style
     model config node (the ``model:`` section of the shipped YAMLs).
@@ -329,6 +330,12 @@ def build_latent_diffusion(
     ``init_params=True`` random-initializes everything (for training/tests);
     passing ``state_dict`` ports a reference checkpoint instead
     (``ddpm.py:186-202``-equivalent load, via the per-model port layers).
+
+    ``compute_dtype`` rebinds every stage's module dtype and casts the float
+    param leaves — the inference-precision policy (pipelines pass bf16,
+    matching the reference's fp16 ``autocast`` sampling scope,
+    ``txt2img.py:288-343``; norm/softmax fp32 islands stay inside the
+    modules). Default None keeps fp32 — the training/parity default.
     """
     from sd_tpu.core.schedules import DiffusionSchedule
     from sd_tpu.models.clip import CLIP_VIT_L_14_TEXT, port_clip_text
@@ -356,14 +363,21 @@ def build_latent_diffusion(
         parameterization=p.get("parameterization", "eps"),
     )
 
-    unet = instantiate_from_config(p["unet_config"])
+    def _rebind_dtype(module):
+        if (compute_dtype is not None and module is not None
+                and hasattr(module, "dtype") and hasattr(module, "clone")):
+            return module.clone(dtype=compute_dtype)
+        return module
+
+    unet = _rebind_dtype(instantiate_from_config(p["unet_config"]))
     ucfg = unet.config
     image_size = p.get("image_size", ucfg.image_size)
     channels = p.get("channels", ucfg.in_channels)
 
     first_stage = None
     if "first_stage_config" in p:
-        first_stage = instantiate_from_config(p["first_stage_config"])
+        first_stage = _rebind_dtype(
+            instantiate_from_config(p["first_stage_config"]))
 
     cond_cfg = p.get("cond_stage_config")
     conditioning_key = p.get("conditioning_key")
@@ -377,7 +391,7 @@ def build_latent_diffusion(
         cond_stage = first_stage  # share (ddpm.py:509-515)
         cond_is_first_stage = True
     else:
-        cond_stage = instantiate_from_config(cond_cfg)
+        cond_stage = _rebind_dtype(instantiate_from_config(cond_cfg))
 
     # ------------------------------------------------------ parameters
     unet_params = first_params = cond_params = None
@@ -425,6 +439,20 @@ def build_latent_diffusion(
         elif cond_stage is not None:
             cond_in = _example_cond_input(cond_stage)
             cond_params = cond_stage.init(r_cond, cond_in)["params"]
+
+    if compute_dtype is not None:
+        def _cast(tree):
+            if tree is None:
+                return None
+            return jax.tree.map(
+                lambda x: jnp.asarray(x).astype(compute_dtype)
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                else jnp.asarray(x), tree)
+
+        unet_params = _cast(unet_params)
+        first_params = _cast(first_params)
+        cond_params = (first_params if cond_is_first_stage
+                       else _cast(cond_params))
 
     return LatentDiffusion(
         unet=unet,

@@ -81,3 +81,33 @@ def test_scheduler_nodes_instantiate():
             assert callable(sched)
             seen += 1
     assert seen >= 3
+
+
+def test_build_latent_diffusion_compute_dtype():
+    """compute_dtype=bf16 (the inference-precision policy the pipelines use,
+    analog of the reference's autocast scope txt2img.py:288-343) rebinds
+    every stage's module dtype and casts float param leaves; the model still
+    samples finite values. Default stays fp32 for training/parity."""
+    import jax
+    import jax.numpy as jnp
+
+    from sd_tpu.utils.config import build_latent_diffusion
+    from sd_tpu.utils.testing import tiny_sd_model_config
+
+    ldm = build_latent_diffusion(tiny_sd_model_config(),
+                                 rng=jax.random.PRNGKey(0),
+                                 compute_dtype=jnp.bfloat16)
+    assert ldm.unet.dtype == jnp.bfloat16
+    assert ldm.first_stage_model.dtype == jnp.bfloat16
+    leaves = jax.tree.leaves(ldm.unet_params)
+    assert all(l.dtype == jnp.bfloat16 for l in leaves
+               if jnp.issubdtype(l.dtype, jnp.floating))
+    x = jnp.zeros((1, 16, 16, 4), jnp.bfloat16)
+    t = jnp.zeros((1,), jnp.float32)
+    ctx = jnp.zeros((1, 8, ldm.unet.config.context_dim), jnp.bfloat16)
+    out = ldm.apply_model(x, t, {"c_crossattn": ctx})
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+    ldm32 = build_latent_diffusion(tiny_sd_model_config(),
+                                   rng=jax.random.PRNGKey(0))
+    assert ldm32.unet.dtype == jnp.float32
