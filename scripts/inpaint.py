@@ -57,8 +57,11 @@ def main():
             from sd_tpu.utils.port import load_torch_state_dict
 
             state_dict = load_torch_state_dict(opt.ckpt)
+        from sd_tpu.pipelines.build import inference_compute_dtype
+
         ldm = build_latent_diffusion(cfg["model"], rng=rng, state_dict=state_dict,
-                                     init_params=state_dict is None)
+                                     init_params=state_dict is None,
+                                     compute_dtype=inference_compute_dtype())
         pipe = InpaintPipeline(ldm=ldm, downsample=4)  # inpainting_big is VQ-f4
 
     masks = sorted(glob.glob(os.path.join(opt.indir, "*_mask.png")))

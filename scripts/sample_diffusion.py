@@ -56,8 +56,11 @@ def main():
             from sd_tpu.utils.port import load_torch_state_dict
 
             state_dict = load_torch_state_dict(opt.resume)
+        from sd_tpu.pipelines.build import inference_compute_dtype
+
         ldm = build_latent_diffusion(cfg["model"], rng=rng, state_dict=state_dict,
-                                     init_params=state_dict is None)
+                                     init_params=state_dict is None,
+                                     compute_dtype=inference_compute_dtype())
         latent_hw = cfg["model"]["params"].get("image_size", 64)
         latent_c = cfg["model"]["params"].get("channels", 4)
 

@@ -14,7 +14,22 @@ import os
 import sys
 from typing import Optional
 
-__all__ = ["build_txt2img_pipeline"]
+__all__ = ["build_txt2img_pipeline", "inference_compute_dtype"]
+
+
+def inference_compute_dtype():
+    """The inference-precision policy shared by every sampling CLI/pipeline.
+
+    bf16 compute + bf16 params (fp32 norm/softmax islands stay inside the
+    modules) — the analog of the reference's fp16 ``autocast`` sampling
+    scope (``scripts/txt2img.py:288-343``). ``SD_TPU_PRECISION=fp32`` opts
+    out (e.g. for activation-parity debugging). Returns a dtype for
+    ``build_latent_diffusion(compute_dtype=...)`` or None for fp32.
+    """
+    import jax.numpy as jnp
+
+    prec = os.environ.get("SD_TPU_PRECISION", "bf16").lower()
+    return None if prec in ("fp32", "float32") else jnp.bfloat16
 
 
 def build_txt2img_pipeline(
@@ -64,18 +79,10 @@ def build_txt2img_pipeline(
 
             print(f"Loading state dict from {ckpt}", file=sys.stderr)
             state_dict = load_torch_state_dict(ckpt)
-        # inference precision: bf16 compute + bf16 params (fp32 norm/softmax
-        # islands inside the modules), the analog of the reference's fp16
-        # autocast sampling scope (txt2img.py:288-343). SD_TPU_PRECISION=fp32
-        # opts out (e.g. for activation-parity debugging).
-        prec = os.environ.get("SD_TPU_PRECISION", "bf16").lower()
-        import jax.numpy as jnp
-
-        compute_dtype = None if prec in ("fp32", "float32") else jnp.bfloat16
         ldm = build_latent_diffusion(cfg["model"], rng=rng,
                                      state_dict=state_dict,
                                      init_params=state_dict is None,
-                                     compute_dtype=compute_dtype)
+                                     compute_dtype=inference_compute_dtype())
         bpe = os.environ.get("SD_TPU_BPE_VOCAB")
         if bpe:
             from sd_tpu.data.tokenizer import CLIPTokenizer

@@ -111,3 +111,19 @@ def test_build_latent_diffusion_compute_dtype():
     ldm32 = build_latent_diffusion(tiny_sd_model_config(),
                                    rng=jax.random.PRNGKey(0))
     assert ldm32.unet.dtype == jnp.float32
+
+
+def test_inference_compute_dtype_env_policy(monkeypatch):
+    """inference_compute_dtype() is the single shared precision switch for
+    every sampling CLI (txt2img/serve/img2img/inpaint/knn2img/
+    sample_diffusion): bf16 by default, SD_TPU_PRECISION=fp32 opts out."""
+    import jax.numpy as jnp
+
+    from sd_tpu.pipelines.build import inference_compute_dtype
+
+    monkeypatch.delenv("SD_TPU_PRECISION", raising=False)
+    assert inference_compute_dtype() == jnp.bfloat16
+    monkeypatch.setenv("SD_TPU_PRECISION", "fp32")
+    assert inference_compute_dtype() is None
+    monkeypatch.setenv("SD_TPU_PRECISION", "bf16")
+    assert inference_compute_dtype() == jnp.bfloat16
