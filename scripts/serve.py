@@ -10,12 +10,18 @@ that:
     python scripts/serve.py --http 8000 --ckpt ...    # stdlib HTTP endpoint
 
 Requests are JSON objects:
-{"prompt": "...", "seed": 1234, "n": 1, "negative_prompt": "..."}
+{"prompt": "...", "seed": 1234, "n": 1, "negative_prompt": "...",
+ "steps": 20, "height": 256, "width": 256}
 (``n`` up to --max-batch; the fixed-batch program is padded so every
-request hits the same compiled executable). Concurrent requests within
-``--batch-window`` ms coalesce into ONE padded execution (per-request
-seeds preserved via per-request host-drawn ``x_T`` noise); responses
-carry ``exec_id``/``batched_requests`` so clients can observe sharing.
+request hits the same compiled executable). ``steps``/``height``/``width``
+must name a warm bucket: the startup configuration is bucket 0 and each
+repeatable ``--bucket HxW@STEPS`` adds another, compiled once at warmup
+(the pipeline's program cache keys on the static shape, so buckets stay
+warm side by side). Concurrent requests within ``--batch-window`` ms
+coalesce per bucket into ONE padded execution (per-request seeds
+preserved via per-request host-drawn ``x_T`` noise); responses carry
+``exec_id``/``batched_requests``/``bucket`` so clients can observe
+sharing.
 Responses carry the written PNG paths plus safety-checker flags. Safety
 checker + invisible watermark run by default, matching the reference
 output contract (``scripts/txt2img.py:69-95,317-343``).
@@ -45,6 +51,13 @@ def parse_args():
     p.add_argument("--scale", type=float, default=7.5)
     p.add_argument("--max-batch", dest="max_batch", type=int, default=1,
                    help="fixed serving batch; requests are padded to it")
+    p.add_argument("--bucket", action="append", default=None,
+                   metavar="HxW@STEPS",
+                   help="additional warm serving bucket (repeatable), e.g. "
+                        "--bucket 256x256@20. '@STEPS' alone keeps the "
+                        "default resolution; 'HxW' alone keeps --steps. "
+                        "Requests may pick a bucket via height/width/steps "
+                        "fields; each bucket compiles once at warmup.")
     p.add_argument("--batch-window", dest="batch_window", type=float,
                    default=10.0,
                    help="ms to wait coalescing concurrent requests into one "
@@ -62,17 +75,43 @@ def parse_args():
     return p.parse_args()
 
 
+def parse_buckets(opt):
+    """Warm serving buckets [(H, W, steps), ...]; the --H/--W/--steps
+    configuration is always bucket 0. '--bucket 256x256@20' adds one;
+    '@20' keeps the default resolution, '256x256' keeps --steps."""
+    buckets = [(opt.H, opt.W, opt.steps)]
+    for spec in opt.bucket or []:
+        hw, _, st = spec.partition("@")
+        h, w = (opt.H, opt.W)
+        if hw:
+            hs, _, ws = hw.partition("x")
+            h, w = int(hs), int(ws or hs)
+        steps = int(st) if st else opt.steps
+        if (h, w, steps) not in buckets:
+            buckets.append((h, w, steps))
+    return buckets
+
+
 def build_pipeline(opt):
     from sd_tpu.pipelines.build import build_txt2img_pipeline
 
+    opt.buckets = parse_buckets(opt)
     # watermark applied in Server.handle AFTER slicing off batch padding
     # (host-side DWT on discarded pad images is pure waste)
     pipe, tiny_hw = build_txt2img_pipeline(
         tiny=opt.tiny, config=opt.config, ckpt=opt.ckpt,
         safety=opt.safety, safety_ckpt=opt.safety_ckpt,
-        watermark=False, min_hw=min(opt.H, opt.W))
+        watermark=False, min_hw=min(min(h, w) for h, w, _ in opt.buckets))
     if tiny_hw:
-        opt.H, opt.W = min(opt.H, tiny_hw), min(opt.W, tiny_hw)
+        # clamp every bucket to the tiny model's resolution, dedupe in order
+        seen, clamped = set(), []
+        for h, w, s in opt.buckets:
+            b = (min(h, tiny_hw), min(w, tiny_hw), s)
+            if b not in seen:
+                seen.add(b)
+                clamped.append(b)
+        opt.buckets = clamped
+        opt.H, opt.W = opt.buckets[0][:2]
     return pipe
 
 
@@ -98,7 +137,7 @@ class Server:
         self.opt = opt
         self.pipe = build_pipeline(opt)
         self.jax = jax
-        self.watermark = (opt.watermark and min(opt.H, opt.W) >= 32)
+        self.watermark_opt = opt.watermark  # per-bucket DWT floor in _run_batch
         os.makedirs(opt.outdir, exist_ok=True)
         # continue numbering after any previous run's images (restart must
         # not clobber paths already handed to clients) — use max numeric stem,
@@ -113,34 +152,47 @@ class Server:
         self._worker = threading.Thread(target=self._work, daemon=True)
         self._worker.start()
         if opt.warmup:
-            t0 = time.perf_counter()
-            self._run_batch([{"prompt": "warmup", "n": opt.max_batch,
-                              "seed": 0, "negative": None,
-                              "event": None, "resp": {}}])
+            for bucket in opt.buckets:
+                t0 = time.perf_counter()
+                self._run_batch([{"prompt": "warmup", "n": opt.max_batch,
+                                  "seed": 0, "negative": None,
+                                  "bucket": bucket,
+                                  "event": None, "resp": {}}])
+                h, w, s = bucket
+                print(f"serve: warm bucket {h}x{w}@{s} (compile+first "
+                      f"batch {time.perf_counter() - t0:.1f}s)",
+                      file=sys.stderr, flush=True)
             self.exec_count = 0
-            print(f"serve: warm (compile+first batch "
-                  f"{time.perf_counter() - t0:.1f}s)", file=sys.stderr,
-                  flush=True)
 
     # ------------------------------------------------------------- request
     def handle(self, req: dict) -> dict:
         import threading
 
-        # the serving configuration (steps/resolution/scale/sampler) is fixed
-        # at startup — reject requests that try to override it rather than
-        # silently serving them with the pinned settings
+        # the serving configurations are fixed at startup (the warm
+        # --bucket list plus sampler/scale) — reject requests that try to
+        # override anything else rather than silently serving them with the
+        # pinned settings
         unsupported = sorted(set(req)
-                             - {"prompt", "seed", "n", "negative_prompt"})
+                             - {"prompt", "seed", "n", "negative_prompt",
+                                "height", "width", "steps"})
         if unsupported:
             return {"ok": False,
                     "error": f"unsupported request fields {unsupported}; "
                     f"this server pins the sampling configuration at startup",
                     "config": self.effective_config()}
+        d_h, d_w, d_s = self.opt.buckets[0]
+        bucket = (int(req.get("height", d_h)), int(req.get("width", d_w)),
+                  int(req.get("steps", d_s)))
+        if bucket not in self.opt.buckets:
+            return {"ok": False,
+                    "error": f"no warm bucket {bucket[0]}x{bucket[1]}@"
+                    f"{bucket[2]}; configure it at startup with --bucket",
+                    "config": self.effective_config()}
         n_req = int(req.get("n", 1))
         n = max(1, min(n_req, self.opt.max_batch))
         item = {"prompt": req.get("prompt", ""), "n": n,
                 "seed": int(req.get("seed", 42)),
-                "negative": req.get("negative_prompt"),
+                "negative": req.get("negative_prompt"), "bucket": bucket,
                 "event": threading.Event(), "resp": {}}
         self._queue.put(item)
         item["event"].wait()
@@ -164,7 +216,8 @@ class Server:
                     nxt = self._queue.get(timeout=wait)
                 except Exception:  # queue.Empty
                     break
-                if slots + nxt["n"] > self.opt.max_batch:
+                if (slots + nxt["n"] > self.opt.max_batch
+                        or nxt["bucket"] != first["bucket"]):
                     self._pending = nxt  # head of the next batch
                     break
                 batch.append(nxt)
@@ -178,9 +231,9 @@ class Server:
                     if it["event"] is not None:
                         it["event"].set()
 
-    def _noise(self, seed, n):
-        opt, pipe = self.opt, self.pipe
-        shape = (n, opt.H // pipe.downsample, opt.W // pipe.downsample,
+    def _noise(self, seed, n, h, w):
+        pipe = self.pipe
+        shape = (n, h // pipe.downsample, w // pipe.downsample,
                  pipe.latent_channels)
         return self.jax.random.normal(self.jax.random.PRNGKey(seed), shape)
 
@@ -191,21 +244,22 @@ class Server:
 
         opt = self.opt
         jnp = self.jax.numpy
+        h, w, steps = batch[0]["bucket"]
         prompts, negs, noises = [], [], []
         for it in batch:
             prompts += [it["prompt"]] * it["n"]
             negs += [it["negative"] or ""] * it["n"]
-            noises.append(self._noise(it["seed"], it["n"]))
+            noises.append(self._noise(it["seed"], it["n"], h, w))
         pad = opt.max_batch - len(prompts)
         if pad:
             prompts += [""] * pad
             negs += [""] * pad
-            noises.append(self._noise(0, pad))
+            noises.append(self._noise(0, pad, h, w))
         t0 = time.perf_counter()
         imgs = self.pipe(
             prompts, self.jax.random.PRNGKey(batch[0]["seed"]),
-            negative_prompts=negs, height=opt.H, width=opt.W,
-            steps=opt.steps, guidance_scale=opt.scale, sampler=opt.sampler,
+            negative_prompts=negs, height=h, width=w,
+            steps=steps, guidance_scale=opt.scale, sampler=opt.sampler,
             x_T=jnp.concatenate(noises, axis=0))
         dt = time.perf_counter() - t0
         self.exec_count += 1
@@ -214,7 +268,7 @@ class Server:
         for it in batch:
             n = it["n"]
             sl = imgs[off:off + n]
-            if self.watermark:
+            if self.watermark_opt and min(h, w) >= 32:  # DWT capacity floor
                 from sd_tpu.utils.watermark import embed_watermark_batch
 
                 sl = embed_watermark_batch(np.asarray(sl))
@@ -229,6 +283,7 @@ class Server:
                 "safety_flagged": [bool(f) for f in flags[off:off + n]]
                 if flags is not None else [],
                 "config": self.effective_config(),
+                "bucket": {"H": h, "W": w, "steps": steps},
                 "exec_id": self.exec_count,
                 "batched_requests": len(batch),
             }
@@ -241,7 +296,8 @@ class Server:
         return {"H": opt.H, "W": opt.W, "steps": opt.steps,
                 "sampler": opt.sampler, "scale": opt.scale,
                 "max_batch": opt.max_batch,
-                "batch_window_ms": opt.batch_window}
+                "batch_window_ms": opt.batch_window,
+                "buckets": [f"{h}x{w}@{s}" for h, w, s in opt.buckets]}
 
 
 def serve_stdio(server):

@@ -189,3 +189,32 @@ def test_serve_http_coalescing(tmp_path):
     finally:
         proc.kill()
         proc.wait()
+
+
+def test_serve_multi_bucket(tmp_path):
+    """Multi-bucket warm serving (scripts/serve.py --bucket): a second
+    steps bucket serves without recompile-at-request-time semantics; a
+    request naming an unconfigured bucket is rejected with the warm list."""
+    import json
+
+    proc = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--tiny", "--stdio",
+         "--steps", "2", "--bucket", "@3", "--max-batch", "1",
+         "--outdir", str(tmp_path / "serve")],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, cwd=REPO, env=ENV,
+    )
+    reqs = [{"prompt": "a red fox", "seed": 7},             # default bucket
+            {"prompt": "a blue bird", "seed": 8, "steps": 3},  # second bucket
+            {"prompt": "nope", "seed": 9, "steps": 4}]      # not configured
+    inp = "\n".join(json.dumps(r) for r in reqs) + "\nquit\n"
+    out, err = proc.communicate(inp, timeout=540)
+    assert proc.returncode == 0, err[-1500:]
+    # both buckets were warmed at startup
+    assert err.count("serve: warm bucket") == 2, err[-1500:]
+    lines = [json.loads(l) for l in out.strip().splitlines()]
+    assert len(lines) == 3
+    assert lines[0]["ok"] and lines[0]["bucket"]["steps"] == 2
+    assert lines[1]["ok"] and lines[1]["bucket"]["steps"] == 3
+    assert not lines[2]["ok"] and "no warm bucket" in lines[2]["error"]
+    assert "64x64@3" in lines[2]["config"]["buckets"][1]
