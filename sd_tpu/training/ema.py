@@ -24,8 +24,11 @@ class EmaState(NamedTuple):
 
 
 def ema_init(params, decay: float = 0.9999, use_num_updates: bool = True) -> EmaState:
+    # real copies, not jnp.asarray views: the shadow must not alias the live
+    # params or donating a TrainState (trainer.fit donate_argnums) trips
+    # "attempt to donate the same buffer twice"
     return EmaState(
-        shadow=jax.tree.map(jnp.asarray, params),
+        shadow=jax.tree.map(lambda p: jnp.array(p, copy=True), params),
         num_updates=jnp.asarray(0 if use_num_updates else -1, jnp.int32),
         decay=decay,
     )

@@ -215,6 +215,14 @@ class Trainer:
             yaml.safe_dump(config, f)
 
     def fit(self, state, data: DataModuleFromConfig, resume: bool = False):
+        """Run the training loop; returns the final state.
+
+        CONSUMES ``state``: the jitted step donates its input buffers, and
+        ``init_state``'s params alias the live LDM's param pytree, so after
+        the first step neither the passed-in state nor the original model
+        params may be read again — use the returned state (the loop itself
+        always rebinds; validation/image-logging rebind from the new state).
+        """
         rng = jax.random.PRNGKey(self.seed)
         if resume:
             path = latest_checkpoint(os.path.join(self.logdir, "checkpoints"))
@@ -222,7 +230,11 @@ class Trainer:
                 state, meta = restore_checkpoint(path, target=state)
                 print(f"Restored from {path} (step {meta and meta.get('step')})")
 
-        step_fn = jax.jit(self.trainer_obj.train_step)
+        # donate the incoming state: the loop rebinds it every iteration and
+        # never touches the old buffers, so XLA reuses the params + optimizer
+        # moments in place instead of holding both generations in HBM
+        # (~2x 8.5 GB transient at 860M/AdamW scale; harmless no-op on CPU)
+        step_fn = jax.jit(self.trainer_obj.train_step, donate_argnums=(0,))
         # The step counter is tracked on HOST: state.step advances by exactly
         # one per train_step, so fetching it every iteration (r1 behavior)
         # paid this environment's ~40-50 ms RPC floor per step and serialized

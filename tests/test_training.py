@@ -2,6 +2,8 @@
 vs the reference implementations, grad-accum equivalence, and the
 data-parallel step on the virtual 8-device mesh."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -251,3 +253,41 @@ def test_conditional_learning_end_to_end():
     x0_2 = np.asarray(predict_start_from_noise(l.schedule, xt, t, e2)).mean((0, 1, 2))
     assert x0_1[0] > x0_1[1], x0_1   # red caption -> red-leaning x0
     assert x0_2[1] > x0_2[0], x0_2   # green caption -> green-leaning x0
+
+
+def test_trainer_fit_smoke(tmp_path):
+    """Drive Trainer.fit end-to-end for a few steps.
+
+    This is the only place the donated jitted step runs in the suite: params
+    aliasing the EMA shadow (ema_init returning views) trips XLA's "donate
+    the same buffer twice" here, which unit-level train_step tests never see.
+    Also covers host-side step tracking and the final checkpoint write.
+
+    Builds its OWN trainer: fit() donates the state, and state.params alias
+    the LDM's live param buffers, so fit consumes the model it was built
+    from — reusing the module-scoped fixture afterwards would crash.
+    """
+    from sd_tpu.training.trainer import Trainer
+
+    ldm = build_latent_diffusion(tiny_sd_model_config(), rng=jax.random.PRNGKey(7))
+    tiny_trainer = LDMTrainer(ldm=ldm, optimizer=optax.adamw(1e-3))
+
+    class Data:
+        def train_dataloader(self):
+            def gen():
+                while True:
+                    yield make_batch()
+            return gen()
+
+        def val_dataloader(self):
+            return None
+
+    tr = Trainer(trainer_obj=tiny_trainer, ldm=tiny_trainer.ldm,
+                 logdir=str(tmp_path), max_steps=3, log_every=2)
+    out = tr.fit(tiny_trainer.init_state(), Data())
+    assert int(jax.device_get(out.step)) == 3
+    # EMA shadow must be real copies that then diverge from the live params
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     out.params, out.ema.shadow)
+    assert max(jax.tree.leaves(d)) > 0
+    assert os.path.isdir(os.path.join(str(tmp_path), "checkpoints", "last"))

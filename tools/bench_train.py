@@ -20,10 +20,17 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# SD_TPU_PLATFORM=cpu forces the CPU backend (the axon sitecustomize pins
+# JAX_PLATFORMS to the tunnel, so the env var alone is not enough)
+if os.environ.get("SD_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["SD_TPU_PLATFORM"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -63,7 +70,9 @@ def flagship():
     tx = optax.adamw(1e-4)
     opt_state = tx.init(params)
 
-    @jax.jit
+    # donate params + moments: the loop rebinds both every iteration, so XLA
+    # updates them in place instead of holding two generations in HBM
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, x, t, ctx, target):
         def loss_fn(p):
             eps = unet.apply({"params": p}, x, t, ctx)
