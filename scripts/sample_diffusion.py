@@ -28,6 +28,15 @@ def main():
     p.add_argument("-l", "--logdir", type=str, default="outputs/diffusion-samples")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--classes", type=str, default=None,
+                   help="class-conditional sampling (ClassEmbedder cond stage, "
+                        "e.g. cin256-v2 / cin-ldm-vq-f8): comma-separated "
+                        "ImageNet ids cycled over the batch, or 'random'")
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="CFG scale for class-cond sampling; uncond is the "
+                        "extra embedding id (n_classes-1, the 1001-class "
+                        "convention) unless --uncond_class is given")
+    p.add_argument("--uncond_class", type=int, default=None)
     opt = p.parse_args()
 
     import jax
@@ -45,9 +54,12 @@ def main():
 
     rng = jax.random.PRNGKey(opt.seed)
     if opt.tiny:
-        from sd_tpu.utils.testing import tiny_uncond_model_config
+        from sd_tpu.utils.testing import (tiny_class_cond_model_config,
+                                          tiny_uncond_model_config)
 
-        ldm = build_latent_diffusion(tiny_uncond_model_config(), rng=rng)
+        tiny_cfg = (tiny_class_cond_model_config() if opt.classes is not None
+                    else tiny_uncond_model_config())
+        ldm = build_latent_diffusion(tiny_cfg, rng=rng)
         latent_hw, latent_c = 16, 4
     else:
         cfg = load_yaml(opt.config)
@@ -68,18 +80,46 @@ def main():
     img_dir = os.path.join(opt.logdir, "img")
     os.makedirs(img_dir, exist_ok=True)
 
+    # class-conditional sampling (cin256-v2 / cin-ldm-vq-f8 recipe): class ids
+    # through the ClassEmbedder cond stage; CFG uncond is the extra embedding
+    # row (the 1001-class convention) when --scale > 1
+    class_ids = None
+    if opt.classes is not None:
+        n_classes = getattr(ldm.cond_stage_model, "n_classes", 1000)
+        if opt.classes == "random":
+            class_ids = np.asarray(
+                jax.random.randint(jax.random.fold_in(rng, 777),
+                                   (opt.n_samples,), 0, min(n_classes, 1000)))
+        else:
+            ids = [int(s) for s in opt.classes.split(",")]
+            class_ids = np.resize(np.asarray(ids, np.int32), opt.n_samples)
+        uncond_id = (opt.uncond_class if opt.uncond_class is not None
+                     else n_classes - 1)
+
     all_images = []
     n_saved = 0
     while n_saved < opt.n_samples:
         b = min(opt.batch_size, opt.n_samples - n_saved)
         shape = (b, latent_hw, latent_hw, latent_c)
         k = jax.random.fold_in(rng, n_saved)
+        cond = uncond = None
+        scale = 1.0
+        if class_ids is not None:
+            cond = ldm.get_learned_conditioning(
+                jnp.asarray(class_ids[n_saved:n_saved + b]))
+            if opt.scale != 1.0:
+                uncond = ldm.get_learned_conditioning(
+                    jnp.full((b,), uncond_id, jnp.int32))
+                scale = opt.scale
         t0 = time.time()
         if opt.vanilla_sample:
-            z, _ = p_sample_loop(ldm.apply_model, ldm.schedule, shape, rng=k)
+            z, _ = p_sample_loop(ldm.apply_model, ldm.schedule, shape,
+                                 cond, rng=k, uncond=uncond,
+                                 guidance_scale=scale)
         else:
-            z, _ = ddim_sample(ldm.apply_model, ldm.schedule, shape, None, k,
-                               num_steps=opt.custom_steps, eta=opt.eta)
+            z, _ = ddim_sample(ldm.apply_model, ldm.schedule, shape, cond, k,
+                               num_steps=opt.custom_steps, eta=opt.eta,
+                               uncond=uncond, guidance_scale=scale)
         imgs = latents_to_images(ldm, z)
         imgs = np.asarray(jax.device_get(imgs))
         t1 = time.time()

@@ -5,7 +5,8 @@ from __future__ import annotations
 
 from typing import Dict
 
-__all__ = ["tiny_sd_model_config", "tiny_uncond_model_config"]
+__all__ = ["tiny_sd_model_config", "tiny_uncond_model_config",
+           "tiny_class_cond_model_config"]
 
 
 def tiny_sd_model_config(context_dim: int = 24, vocab_size: int = 64) -> Dict:
@@ -76,4 +77,18 @@ def tiny_uncond_model_config() -> Dict:
     cfg["params"].pop("conditioning_key")
     unet = cfg["params"]["unet_config"]["params"]
     unet.update(use_spatial_transformer=False, context_dim=None, num_heads=4)
+    return cfg
+
+
+def tiny_class_cond_model_config(n_classes: int = 17) -> Dict:
+    """Class-conditional LDM shaped like the reference's cin256-v2
+    (ClassEmbedder crossattn cond stage with the extra uncond embedding row,
+    ``configs/latent-diffusion/cin256-v2.yaml``), scaled down."""
+    cfg = tiny_sd_model_config()
+    cfg["params"]["cond_stage_key"] = "class_label"
+    cfg["params"]["cond_stage_config"] = {
+        "target": "ldm.modules.encoders.modules.ClassEmbedder",
+        "params": {"n_classes": n_classes,
+                   "embed_dim": cfg["params"]["unet_config"]["params"]["context_dim"]},
+    }
     return cfg

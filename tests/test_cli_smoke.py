@@ -81,6 +81,22 @@ def test_sample_diffusion_cli(tmp_path):
     assert "throughput" in proc.stdout.lower() or "samples/sec" in proc.stdout
 
 
+def test_sample_diffusion_class_cond(tmp_path):
+    """Class-conditional DDIM sampling with CFG through sample_diffusion —
+    the cin256-v2 recipe (ClassEmbedder cond stage, uncond = extra embedding
+    row). BASELINE benchmark config: class-cond ImageNet LDM DDIM via
+    sample_diffusion."""
+    proc = run_cli(["scripts/sample_diffusion.py", "--tiny", "-n", "4",
+                    "--batch_size", "2", "--custom_steps", "2",
+                    "--classes", "3,7", "--scale", "2.0",
+                    "-l", str(tmp_path / "out")])
+    npz = list((tmp_path / "out").rglob("*.npz"))
+    assert npz, "class-cond sample_diffusion wrote no npz"
+    key = "arr_0"
+    assert np.load(npz[0])[key].shape[0] == 4
+    assert "samples/sec" in proc.stdout.lower()
+
+
 def test_knn2img_cli_with_index(tmp_path):
     # build a small embedding index the Searcher can load (the tiny RDM
     # config uses a 24-dim context/embedding space)
