@@ -34,16 +34,21 @@ if os.environ.get("SD_TPU_PLATFORM"):
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = int(os.environ.get("TRAIN_BENCH_BATCH", "4"))
-
-
 def flagship():
     import optax
 
     from sd_tpu.models.unet import UNetConfig, UNetModel
 
+    # env read at call time (not import) so embedding callers — bench_suite's
+    # train stage — can set the knobs after importing this module
+    BATCH = int(os.environ.get("TRAIN_BENCH_BATCH", "4"))
+    # Harness-validation shrink knobs (bench_suite --tiny): smaller trunk /
+    # latent so the CPU backend can compile+run the program in seconds.
+    CH = int(os.environ.get("TRAIN_BENCH_CH", "320"))
+    RES = int(os.environ.get("TRAIN_BENCH_RES", "64"))
+
     cfg = UNetConfig.from_dict(dict(
-        image_size=64, in_channels=4, out_channels=4, model_channels=320,
+        image_size=RES, in_channels=4, out_channels=4, model_channels=CH,
         attention_resolutions=[4, 2, 1], num_res_blocks=2,
         channel_mult=[1, 2, 4, 4], num_heads=8, use_spatial_transformer=True,
         transformer_depth=1, context_dim=768, legacy=False,
@@ -51,19 +56,27 @@ def flagship():
     ))
     unet = UNetModel(config=cfg, dtype=jnp.bfloat16)
     b = BATCH
-    x = jnp.zeros((b, 64, 64, 4), jnp.bfloat16)
+    x = jnp.zeros((b, RES, RES, 4), jnp.bfloat16)
     tt = jnp.zeros((b,), jnp.float32)
     ctx = jnp.zeros((b, 77, 768), jnp.bfloat16)
     shapes = jax.eval_shape(lambda k: unet.init(k, x, tt, ctx), jax.random.PRNGKey(0))
 
+    # One flat normal + static slices: per-leaf fold_in/normal unrolls ~400
+    # independent threefry chains, which the CPU XLA backend compiles for
+    # minutes even at tiny shapes; a single RNG op + slices compiles fast.
+    leaves, treedef = jax.tree.flatten(shapes["params"])
+    sizes = [int(np.prod(s.shape)) for s in leaves]
+    total = int(sum(sizes))
+
     @jax.jit
     def make_params(key):
-        leaves, treedef = jax.tree.flatten(shapes["params"])
-        out = []
-        for i, s in enumerate(leaves):
+        flat = jax.random.normal(key, (total,), jnp.float32) * 0.02
+        out, off = [], 0
+        for s, n in zip(leaves, sizes):
             dt = jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
-            out.append(jax.random.normal(jax.random.fold_in(key, i),
-                                         s.shape, jnp.float32).astype(dt) * 0.02)
+            out.append(jax.lax.slice(flat, (off,), (off + n,))
+                       .reshape(s.shape).astype(dt))
+            off += n
         return jax.tree.unflatten(treedef, out)
 
     params = make_params(jax.random.PRNGKey(1))
@@ -83,7 +96,7 @@ def flagship():
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    target = jnp.zeros((b, 64, 64, 4), jnp.float32)
+    target = jnp.zeros((b, RES, RES, 4), jnp.float32)
     t0 = time.perf_counter()
     params, opt_state, loss = train_step(params, opt_state, x, tt, ctx, target)
     _ = float(loss)  # sync -> compile + first step done
@@ -96,7 +109,9 @@ def flagship():
     lf = float(loss)  # terminal sync
     dt = (time.perf_counter() - t0) / iters
     print(json.dumps({
-        "metric": "flagship train step (860M UNet, 64x64 latents, remat, AdamW)",
+        "metric": (f"flagship train step (860M UNet, 64x64 latents, remat, AdamW)"
+                   if (CH, RES) == (320, 64) else
+                   f"train step (shrunk ch={CH} res={RES}, remat, AdamW)"),
         "batch": b, "ms_per_step": round(dt * 1000, 2),
         "images_per_sec_train": round(b / dt, 3),
         "loss_finite": bool(np.isfinite(lf)),
