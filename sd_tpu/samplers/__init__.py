@@ -2,6 +2,7 @@ from sd_tpu.samplers.common import (
     build_ddim_tables,
     ddim_step_from_eps,
     make_guided_eps,
+    wrap_model_output,
 )
 from sd_tpu.samplers.ancestral import p_sample_loop, progressive_denoising
 from sd_tpu.samplers.ddim import ddim_decode, ddim_sample, ddim_stochastic_encode

@@ -30,6 +30,66 @@ from sd_tpu.core.schedules import (
 EpsModel = Callable[[jnp.ndarray, jnp.ndarray, Any], jnp.ndarray]
 
 
+def wrap_model_output(
+    model_fn: EpsModel,
+    schedule: DiffusionSchedule,
+    model_type: str = "noise",
+) -> EpsModel:
+    """Adapt a non-eps model parameterization to the eps interface.
+
+    Every sampler here consumes eps-models; networks trained to predict
+    ``x_start`` (data prediction), ``v`` (SD 2.x v-prediction) or ``score``
+    plug in through this wrapper. Ref: ``model_wrapper.noise_pred_fn``
+    (``dpm_solver/dpm_solver.py:288-308``):
+
+    - x_start: ``eps = (x - α_t·out) / σ_t``
+    - v:       ``eps = α_t·out + σ_t·x``
+    - score:   ``eps = -σ_t·out``  (branch present in the reference;
+      excluded by its final assert at ``dpm_solver.py:346`` — kept here)
+
+    where ``α_t = sqrt(ᾱ_t)``, ``σ_t = sqrt(1-ᾱ_t)``. The model-input time
+    ``t`` may be fractional (DPM-Solver's continuous grid maps to
+    ``model_time == timestep index`` exactly at grid points); ``log ᾱ`` is
+    interpolated piecewise-linearly over the index axis on device — the
+    same interpolant as the reference's ``NoiseScheduleVP('discrete')``
+    (``dpm_solver.py:95-142``) under its affine time map. At the integer
+    times DDIM/PLMS pass, this reduces to an exact table gather, so the
+    wrapper composes with every sampler in this package.
+
+    Conversion runs BEFORE CFG combination (wrap, then
+    :func:`make_guided_eps`) — the reference's order. All three maps are
+    affine in ``out``, so this composition is also exactly equivalent to
+    converting after CFG.
+    """
+    if model_type == "noise":
+        return model_fn
+    if model_type not in ("x_start", "v", "score"):
+        raise ValueError(
+            f"model_type must be noise|x_start|v|score, got {model_type!r}")
+
+    log_ab = jnp.asarray(
+        0.5 * np.log(schedule.alphas_cumprod.astype(np.float64)), jnp.float32)
+    idx = jnp.arange(log_ab.shape[0], dtype=jnp.float32)
+
+    def eps_model(x, t, cond=None):
+        out = model_fn(x, t, cond)
+        la = jnp.interp(jnp.asarray(t, jnp.float32), idx, log_ab)
+        bshape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        alpha = jnp.exp(la).reshape(bshape)
+        sigma = jnp.sqrt(-jnp.expm1(2.0 * la)).reshape(bshape)
+        xf = x.astype(jnp.float32)
+        of = out.astype(jnp.float32)
+        if model_type == "x_start":
+            e = (xf - alpha * of) / sigma
+        elif model_type == "v":
+            e = alpha * of + sigma * xf
+        else:  # score
+            e = -sigma * of
+        return e.astype(out.dtype)
+
+    return eps_model
+
+
 def _tree_concat(a, b):
     return jax.tree.map(lambda x, y: jnp.concatenate([x, y], axis=0), a, b)
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sd_tpu.core.schedules import DiffusionSchedule
-from sd_tpu.samplers.common import EpsModel, make_guided_eps
+from sd_tpu.samplers.common import EpsModel, make_guided_eps, wrap_model_output
 
 __all__ = [
     "dpm_solver_sample",
@@ -89,6 +89,7 @@ def dpm_solver_sample(
     t_start: Optional[float] = None,
     t_end: Optional[float] = None,
     order: int = 2,
+    model_type: str = "noise",
 ):
     """Multistep DPM-Solver++ (orders 1-3) over a uniform time grid.
 
@@ -101,6 +102,9 @@ def dpm_solver_sample(
     """
     assert order in (1, 2, 3)
     assert num_steps >= order, f"multistep order-{order} needs >= {order} steps"
+    # non-eps parameterizations (x_start / v / score) adapt here, before CFG
+    # — ref model_wrapper's model_type dispatch (dpm_solver.py:288-308)
+    model_fn = wrap_model_output(model_fn, schedule, model_type)
     if order != 2:
         return _dpm_multistep_general(
             model_fn, schedule, shape, cond, rng, num_steps, uncond,
@@ -268,6 +272,7 @@ def dpm_solver_adaptive_sample(
     theta: float = 0.9,
     t_err: float = 1e-5,
     max_nfe: int = 1200,
+    model_type: str = "noise",
 ):
     """Adaptive step-size DPM-Solver++ (``method="adaptive"`` of the
     reference's ``sample``, ``dpm_solver/dpm_solver.py:909-965,1106``).
@@ -288,6 +293,7 @@ def dpm_solver_adaptive_sample(
     parameterization is implemented, matching ``sampler.py:79-80``.
     """
     assert order in (2, 3)
+    model_fn = wrap_model_output(model_fn, schedule, model_type)
     ns = DiscreteNoiseSchedule.from_schedule(schedule)
     t_T = 1.0 if t_start is None else float(t_start)
     t_0 = 1.0 / ns.total_N if t_end is None else float(t_end)
@@ -408,6 +414,7 @@ def dpm_solver_singlestep_sample(
     x_T: Optional[jnp.ndarray] = None,
     t_start: Optional[float] = None,
     t_end: Optional[float] = None,
+    model_type: str = "noise",
 ):
     """Singlestep DPM-Solver++ ("DPM-Solver-fast"): combines orders <= order
     to spend exactly ``num_steps`` model evaluations.
@@ -419,6 +426,7 @@ def dpm_solver_singlestep_sample(
     and coefficients are static host-side values.
     """
     assert order in (1, 2, 3)
+    model_fn = wrap_model_output(model_fn, schedule, model_type)
     ns = DiscreteNoiseSchedule.from_schedule(schedule)
     t_T = 1.0 if t_start is None else float(t_start)
     t_0 = 1.0 / ns.total_N if t_end is None else float(t_end)

@@ -499,3 +499,142 @@ def test_dpm_solver_adaptive_parity(order):
         x_T=jnp.asarray(np.transpose(x_T.numpy(), (0, 2, 3, 1))),
     )
     np.testing.assert_allclose(nchw(got), ref.numpy(), atol=2e-3, rtol=1e-2)
+
+
+# ------------------------------------------- model_type parameterizations
+# wrap_model_output adapts x_start / v / score networks to the eps interface
+# (ref model_wrapper.noise_pred_fn, dpm_solver/dpm_solver.py:288-308).
+
+
+def _torch_generic_out(x, t):
+    """A parameterization-agnostic fake network output (torch)."""
+    import torch
+
+    return 0.3 * x + (0.1 * torch.sin(t.float() / 50.0)).reshape(
+        (-1,) + (1,) * (x.dim() - 1))
+
+
+def _jax_generic_out(x, t, c=None):
+    """Same fake network output (jax)."""
+    return 0.3 * x + (0.1 * jnp.sin(t.astype(jnp.float32) / 50.0)).reshape(
+        (-1,) + (1,) * (x.ndim - 1))
+
+
+@pytest.mark.parametrize("model_type", ["x_start", "v"])
+def test_wrap_model_output_parity_vs_reference(model_type):
+    """eps from wrap_model_output == reference noise_pred_fn, on- and off-grid."""
+    import torch
+
+    from ldm.models.diffusion.dpm_solver.dpm_solver import (
+        NoiseScheduleVP,
+        model_wrapper,
+    )
+    from sd_tpu.samplers import wrap_model_output
+
+    torch.manual_seed(60)
+    ns = NoiseScheduleVP("discrete",
+                         alphas_cumprod=torch.tensor(SCHED.alphas_cumprod))
+    ref_fn = model_wrapper(_torch_generic_out, ns, model_type=model_type,
+                           guidance_type="uncond")
+    got_fn = wrap_model_output(_jax_generic_out, SCHED, model_type)
+
+    n = SCHED.num_timesteps
+    x = torch.randn(3, 3, 8, 8)
+    # on-grid (model_time == integer index) and off-grid continuous times
+    for t_cont in [1.0, 0.7234, 500.5 / n + 1.0 / n, 1.0 / n]:
+        t = torch.full((3,), t_cont, dtype=torch.float64)
+        ref = ref_fn(x, t)
+        t_model = (t_cont - 1.0 / n) * 1000.0
+        got = got_fn(jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1))),
+                     jnp.full((3,), t_model, jnp.float32), None)
+        np.testing.assert_allclose(nchw(got), ref.numpy(), atol=2e-4, rtol=2e-4)
+
+
+def test_wrap_model_output_score_and_integer_gather():
+    """score branch: eps == -sigma_t*out; integer t reduces to exact gather."""
+    from sd_tpu.samplers import wrap_model_output
+
+    rng = np.random.default_rng(61)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    ts = np.array([0, 1, 317, 999])
+    for ti in ts:
+        sig = np.sqrt(1.0 - SCHED.alphas_cumprod[ti])
+        eps_true = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+        score_model = lambda xx, tt, cc: -eps_true / np.float32(sig)
+        got = wrap_model_output(score_model, SCHED, "score")(
+            x, jnp.full((2,), float(ti), jnp.float32), None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(eps_true),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_wrap_model_output_rejects_unknown():
+    from sd_tpu.samplers import wrap_model_output
+
+    with pytest.raises(ValueError):
+        wrap_model_output(_jax_generic_out, SCHED, "epsilon")
+
+
+def test_dpm_solver_v_param_trajectory_matches_eps():
+    """Sampling a v-parameterized network via model_type='v' reproduces the
+    eps-model trajectory exactly (the two parameterizations describe the
+    same model)."""
+    log_ab = jnp.asarray(0.5 * np.log(SCHED.alphas_cumprod), jnp.float32)
+    idx = jnp.arange(log_ab.shape[0], dtype=jnp.float32)
+
+    def v_model(x, t, c):
+        la = jnp.interp(t.astype(jnp.float32), idx, log_ab)
+        bshape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        alpha = jnp.exp(la).reshape(bshape)
+        sigma = jnp.sqrt(-jnp.expm1(2.0 * la)).reshape(bshape)
+        return (jax_eps(x, t, c) - sigma * x) / alpha
+
+    kw = dict(cond=jnp.full((2, 4), 1.5), uncond=jnp.zeros((2, 4)),
+              guidance_scale=3.0, rng=jax.random.PRNGKey(7), num_steps=10)
+    want = dpm_solver_sample(jax_eps, SCHED, SHAPE, **kw)
+    got = dpm_solver_sample(v_model, SCHED, SHAPE, model_type="v", **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_wrap_model_output_cfg_composition_matches_reference():
+    """wrap-then-CFG (ours) == convert-inside-CFG (reference order): the
+    conversions are affine in the network output, so the compositions agree.
+    Ref: model_wrapper guidance_type='classifier-free' (dpm_solver.py:336-343)."""
+    import torch
+
+    from ldm.models.diffusion.dpm_solver.dpm_solver import (
+        NoiseScheduleVP,
+        model_wrapper,
+    )
+    from sd_tpu.samplers import make_guided_eps, wrap_model_output
+
+    torch.manual_seed(62)
+    n = SCHED.num_timesteps
+    ns = NoiseScheduleVP("discrete",
+                         alphas_cumprod=torch.tensor(SCHED.alphas_cumprod))
+
+    def torch_cond_out(x, t, c):
+        return _torch_generic_out(x, t) + 0.05 * c.mean(
+            dim=list(range(1, c.dim()))).reshape((-1,) + (1,) * (x.dim() - 1))
+
+    def jax_cond_out(x, t, c):
+        return _jax_generic_out(x, t) + 0.05 * jnp.mean(
+            c, axis=tuple(range(1, c.ndim))).reshape((-1,) + (1,) * (x.ndim - 1))
+
+    cond_t = torch.full((2, 4), 1.5)
+    uncond_t = torch.zeros(2, 4)
+    ref_fn = model_wrapper(torch_cond_out, ns, model_type="v",
+                           guidance_type="classifier-free",
+                           condition=cond_t, unconditional_condition=uncond_t,
+                           guidance_scale=3.0)
+    got_fn = make_guided_eps(wrap_model_output(jax_cond_out, SCHED, "v"),
+                             jnp.full((2, 4), 1.5), jnp.zeros((2, 4)), 3.0)
+
+    x = torch.randn(2, 3, 8, 8)
+    for t_cont in [1.0, 0.4321]:
+        t = torch.full((2,), t_cont, dtype=torch.float64)
+        ref = ref_fn(x, t)
+        t_model = (t_cont - 1.0 / n) * 1000.0
+        got = got_fn(jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1))),
+                     jnp.full((2,), t_model, jnp.float32))
+        np.testing.assert_allclose(nchw(got), ref.numpy(), atol=2e-4, rtol=2e-4)
