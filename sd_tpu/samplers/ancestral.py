@@ -24,7 +24,8 @@ from sd_tpu.core.schedules import (
     predict_start_from_noise,
     q_posterior,
 )
-from sd_tpu.samplers.common import EpsModel, make_guided_eps, mask_blend
+from sd_tpu.samplers.common import (EpsModel, apply_noise_dropout,
+                                    make_guided_eps, mask_blend)
 
 __all__ = ["p_sample_loop", "progressive_denoising"]
 
@@ -41,6 +42,7 @@ def p_sample_loop(
     clip_denoised: bool = True,
     quantize_x0: Optional[Callable] = None,
     temperature: float = 1.0,
+    noise_dropout: float = 0.0,
     mask: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
     timesteps: Optional[int] = None,
@@ -59,7 +61,7 @@ def p_sample_loop(
 
     def body(carry, t_scalar):
         x, key = carry
-        key, k_noise, k_mask = jax.random.split(key, 3)
+        key, k_noise, k_mask, k_drop = jax.random.split(key, 4)
         t_vec = jnp.full((b,), t_scalar, jnp.int32)
         if mask is not None:
             assert x0 is not None
@@ -77,6 +79,8 @@ def p_sample_loop(
 
         mean, _, log_var = q_posterior(schedule, x_recon, x, t_vec)
         noise = jax.random.normal(k_noise, x.shape, x.dtype) * temperature
+        if noise_dropout > 0.0:  # ref ddpm.py:1097-1098
+            noise = apply_noise_dropout(noise, k_drop, noise_dropout)
         nonzero = (t_scalar > 0).astype(x.dtype)  # no noise at t == 0
         x_prev = mean + nonzero * jnp.exp(0.5 * log_var) * noise
         out = (x_prev, x_recon) if log_every_t else None
@@ -104,6 +108,7 @@ def progressive_denoising(
     x_T: Optional[jnp.ndarray] = None,
     clip_denoised: bool = True,
     temperature: float = 1.0,
+    noise_dropout: float = 0.0,
     mask: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
     timesteps: Optional[int] = None,
@@ -114,7 +119,8 @@ def progressive_denoising(
     img, inter = p_sample_loop(
         model_fn, schedule, shape, cond=cond, rng=rng, uncond=uncond,
         guidance_scale=guidance_scale, x_T=x_T, clip_denoised=clip_denoised,
-        temperature=temperature, mask=mask, x0=x0, timesteps=timesteps,
+        temperature=temperature, noise_dropout=noise_dropout,
+        mask=mask, x0=x0, timesteps=timesteps,
         log_every_t=log_every_t,
     )
     return img, (inter["pred_x0"] if inter else None)

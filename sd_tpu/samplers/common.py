@@ -30,6 +30,15 @@ from sd_tpu.core.schedules import (
 EpsModel = Callable[[jnp.ndarray, jnp.ndarray, Any], jnp.ndarray]
 
 
+def apply_noise_dropout(noise: jnp.ndarray, key, p: float) -> jnp.ndarray:
+    """Dropout on the injected sampler noise. Ref: ``ddim.py:201-202`` /
+    ``ddpm.py:1097-1098``: ``torch.nn.functional.dropout(noise, p)`` — zero
+    each element w.p. ``p``, scale survivors by ``1/(1-p)``. ``p`` is static;
+    callers skip the call entirely when ``p == 0``."""
+    keep = jax.random.bernoulli(key, 1.0 - p, noise.shape)
+    return jnp.where(keep, noise / (1.0 - p), 0.0).astype(noise.dtype)
+
+
 def wrap_model_output(
     model_fn: EpsModel,
     schedule: DiffusionSchedule,

@@ -25,6 +25,7 @@ from sd_tpu.samplers.common import (
     EpsModel,
     build_ddim_tables,
     build_original_step_tables,
+    apply_noise_dropout,
     ddim_step_from_eps,
     make_guided_eps,
     mask_blend,
@@ -49,6 +50,7 @@ def ddim_sample(
     x0: Optional[jnp.ndarray] = None,
     quantize_x0: Optional[Callable] = None,
     score_corrector: Optional[Callable] = None,
+    noise_dropout: float = 0.0,
     timestep_method: str = "uniform",
     log_every_t: int = 0,
     t_start_index: Optional[int] = None,
@@ -88,13 +90,15 @@ def ddim_sample(
 
     def body(carry, step):
         x, key = carry
-        key, k_noise, k_mask = jax.random.split(key, 3)
+        key, k_noise, k_mask, k_drop = jax.random.split(key, 4)
         t_vec = jnp.full((b,), step["t"], jnp.int32)
         if mask is not None:
             assert x0 is not None, "mask requires x0"
             x = mask_blend(schedule, x, x0, mask, t_vec, k_mask)
         e_t = eps(x, t_vec)
         noise = jax.random.normal(k_noise, x.shape, x.dtype)
+        if noise_dropout > 0.0:  # ref ddim.py:201-202
+            noise = apply_noise_dropout(noise, k_drop, noise_dropout)
         x_prev, pred_x0 = ddim_step_from_eps(
             x, e_t, step["a_t"], step["a_prev"], step["sqrt1m"], step["sigma"],
             noise, temperature, quantize_x0,

@@ -41,6 +41,9 @@ def plms_sample(
     guidance_scale: float = 1.0,
     x_T: Optional[jnp.ndarray] = None,
     temperature: float = 1.0,
+    noise_dropout: float = 0.0,  # accepted for API parity; inert — PLMS
+    # always runs sigma==0 so there is no injected noise to drop
+    # (ref plms.py:71,241-243: the same arg is dead upstream too)
     mask: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
     quantize_x0: Optional[Callable] = None,

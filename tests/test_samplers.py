@@ -638,3 +638,36 @@ def test_wrap_model_output_cfg_composition_matches_reference():
         got = got_fn(jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1))),
                      jnp.full((2,), t_model, jnp.float32))
         np.testing.assert_allclose(nchw(got), ref.numpy(), atol=2e-4, rtol=2e-4)
+
+
+def test_noise_dropout():
+    """apply_noise_dropout == torch.nn.functional.dropout semantics
+    (ddim.py:201-202): each element zeroed w.p. p, survivors scaled by
+    1/(1-p). Threaded through the eta>0 DDIM path and the ancestral chain."""
+    from sd_tpu.samplers.common import apply_noise_dropout
+
+    key = jax.random.PRNGKey(9)
+    noise = jnp.asarray(np.random.default_rng(9).normal(
+        size=(4, 16, 16, 3)).astype(np.float32))
+    p = 0.4
+    out = np.asarray(apply_noise_dropout(noise, key, p))
+    zero = out == 0.0
+    assert abs(zero.mean() - p) < 0.03
+    np.testing.assert_allclose(out[~zero], np.asarray(noise)[~zero] / (1 - p),
+                               rtol=1e-6)
+
+    # eta>0 DDIM: dropout changes the trajectory; p=0 path is unchanged
+    kw = dict(cond=None, rng=jax.random.PRNGKey(3), num_steps=8, eta=1.0,
+              x_T=jnp.zeros(SHAPE))
+    base = ddim_sample(jax_eps, SCHED, SHAPE, **kw)[0]
+    same = ddim_sample(jax_eps, SCHED, SHAPE, noise_dropout=0.0, **kw)[0]
+    diff = ddim_sample(jax_eps, SCHED, SHAPE, noise_dropout=0.5, **kw)[0]
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+    assert float(jnp.max(jnp.abs(diff - base))) > 1e-3
+
+    # ancestral chain consumes it too
+    a0 = p_sample_loop(jax_eps, SCHED, SHAPE, rng=jax.random.PRNGKey(3),
+                       timesteps=20)[0]
+    a1 = p_sample_loop(jax_eps, SCHED, SHAPE, rng=jax.random.PRNGKey(3),
+                       timesteps=20, noise_dropout=0.5)[0]
+    assert float(jnp.max(jnp.abs(a1 - a0))) > 1e-3
