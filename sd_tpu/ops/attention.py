@@ -22,6 +22,7 @@ falling back to a fused XLA einsum elsewhere.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -56,6 +57,17 @@ def _xla_attention(q, k, v, scale, mask):
         big_neg = jnp.finfo(jnp.float32).min
         logits = jnp.where(mask, logits, big_neg)
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    if os.environ.get("SD_TPU_CROSS_BMM", "0") == "1":
+        # Perf experiment (default off until measured in-context): the
+        # natural "bhqk,bkhd->bqhd" AV einsum makes XLA fuse the trailing
+        # head-merge reshape and lower the contraction as a dilated conv
+        # that runs at ~29% of its padded-matmul bound at N=4096
+        # (floor-table r3). Split it: tiny V transpose, clean batched
+        # matmul, barrier so the output transpose stays a separate copy.
+        vt = jnp.transpose(v, (0, 2, 1, 3))  # [B,H,Nk,D] — Nk rows, cheap
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, vt)
+        out = jax.lax.optimization_barrier(out)
+        return jnp.transpose(out, (0, 2, 1, 3))
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
@@ -188,6 +200,17 @@ class CrossAttention(nn.Module):
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+
+        if context is x and os.environ.get("SD_TPU_PROJ_BARRIER", "0") == "1":
+            # Perf experiment (default off until measured in-context): on the
+            # self-attention sites XLA fuses the head-split reshape + the
+            # flash kernel's (0,2,1,3) transpose INTO the q/v projection
+            # dots, lowering them as dilated convs at ~36-60% of their
+            # matmul bounds (floor-table r3; to_k — fused with the kt
+            # transpose instead — runs AT bound, which is why k is exempt).
+            # The barrier forces clean [BN,C]x[C,C] dots; the transpose
+            # becomes an explicit copy (~0.06 ms at N=4096 vs ~0.17 saved).
+            q, v = jax.lax.optimization_barrier((q, v))
 
         b, nq = q.shape[0], q.shape[1]
         nk = k.shape[1]

@@ -436,3 +436,35 @@ def test_linear_attention_parity():
     mod = LinearAttention(dim=32, heads=4, dim_head=8)
     out = mod.apply({"params": params}, nchw_to_nhwc(t2n(x)))
     assert_close(nhwc_to_nchw(out), t2n(expected), atol=2e-4)
+
+
+def test_attention_perf_flags_are_exact(monkeypatch):
+    """SD_TPU_PROJ_BARRIER / SD_TPU_CROSS_BMM change only HOW XLA lowers the
+    projections/AV einsum (barriers + explicit transposes), never the math:
+    outputs must be bit-identical for the barrier and allclose for the bmm
+    re-association."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sd_tpu.ops.attention import CrossAttention
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 96)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(2, 13, 32)).astype(np.float32))
+    attn = CrossAttention(query_dim=96, heads=4, dim_head=24, attn_impl="xla")
+    params = attn.init(jax.random.PRNGKey(0), x)
+    base_self = attn.apply(params, x)
+    attn_c = CrossAttention(query_dim=96, context_dim=32, heads=4,
+                            dim_head=24, attn_impl="xla")
+    params_c = attn_c.init(jax.random.PRNGKey(0), x, ctx)
+    base_cross = attn_c.apply(params_c, x, ctx)
+
+    monkeypatch.setenv("SD_TPU_PROJ_BARRIER", "1")
+    monkeypatch.setenv("SD_TPU_CROSS_BMM", "1")
+    got_self = attn.apply(params, x)
+    got_cross = attn_c.apply(params_c, x, ctx)
+    np.testing.assert_allclose(np.asarray(got_self), np.asarray(base_self),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_cross), np.asarray(base_cross),
+                               atol=1e-6, rtol=1e-6)
