@@ -189,10 +189,20 @@ def bench_unet(variants):
     real_ln_call = norms_mod.LayerNormFp32.__call__
     real_ff_call = attn_mod.FeedForward.__call__
 
+    LOWER_FLAGS = {  # attention-lowering env experiments (trace-time reads)
+        "projbar": ("SD_TPU_PROJ_BARRIER",),
+        "crossbmm": ("SD_TPU_CROSS_BMM",),
+        "lowerboth": ("SD_TPU_PROJ_BARRIER", "SD_TPU_CROSS_BMM"),
+    }
+
     results = {}
     for kind in variants:
         attn_kind = kind
-        if kind == "bf16norm":  # fp32-norm-island cost probe (attn = auto)
+        if kind in LOWER_FLAGS:
+            for f in LOWER_FLAGS[kind]:
+                os.environ[f] = "1"
+            attn_kind = "auto"
+        elif kind == "bf16norm":  # fp32-norm-island cost probe (attn = auto)
             norms_mod.set_norm_stats_dtype(jnp.bfloat16)
             attn_kind = "auto"
         elif kind == "nonorm":  # GN/LN -> identity: total norm-pass cost
@@ -222,6 +232,8 @@ def bench_unet(variants):
             continue
         finally:
             attn_mod.dot_product_attention = real
+            for f in ("SD_TPU_PROJ_BARRIER", "SD_TPU_CROSS_BMM"):
+                os.environ.pop(f, None)
             norms_mod.set_norm_stats_dtype(jnp.float32)
             norms_mod.GroupNorm32.__call__ = real_gn_call
             norms_mod.LayerNormFp32.__call__ = real_ln_call
