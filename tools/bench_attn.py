@@ -180,6 +180,14 @@ def bench_unet(variants):
                 return real(q, k, v, scale=scale, mask=mask, impl="xla")
             if kind == "flash_all":
                 return real(q, k, v, scale=scale, mask=mask, impl="flash")
+            if kind == "crossflash":  # flash at the big cross sites only
+                if not is_self and q.shape[1] >= 2048:
+                    return real(q, k, v, scale=scale, mask=mask, impl="flash")
+                return real(q, k, v, scale=scale, mask=mask, impl="auto")
+            if kind == "crossflash_all":  # flash at every cross site >= 256
+                if not is_self and q.shape[1] >= 256:
+                    return real(q, k, v, scale=scale, mask=mask, impl="flash")
+                return real(q, k, v, scale=scale, mask=mask, impl="auto")
             return real(q, k, v, scale=scale, mask=mask, impl=impl)
         return patched
 
