@@ -58,12 +58,17 @@ def _xla_attention(q, k, v, scale, mask):
         logits = jnp.where(mask, logits, big_neg)
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     if os.environ.get("SD_TPU_CROSS_BMM", "0") == "1":
-        # Perf experiment (default off until measured in-context): the
+        # Perf experiment, MEASURED IN-CONTEXT AND LOST (r3, keep OFF): the
         # natural "bhqk,bkhd->bqhd" AV einsum makes XLA fuse the trailing
         # head-merge reshape and lower the contraction as a dilated conv
-        # that runs at ~29% of its padded-matmul bound at N=4096
-        # (floor-table r3). Split it: tiny V transpose, clean batched
-        # matmul, barrier so the output transpose stays a separate copy.
+        # that prices at ~29% of its padded-matmul bound at N=4096
+        # (floor-table r3). Splitting it — tiny V transpose, clean batched
+        # matmul, barrier so the output transpose stays a separate copy —
+        # measured 113.97 ms/step vs 113.50 auto (tools/bench_attn.py unet
+        # crossbmm, honest params-as-args graph): the isolated-bound "slack"
+        # is an artifact of pricing XLA's fused lowering against a clean
+        # matmul bound; in context the fusion wins. Don't re-walk without
+        # a new idea.
         vt = jnp.transpose(v, (0, 2, 1, 3))  # [B,H,Nk,D] — Nk rows, cheap
         out = jnp.einsum("bhqk,bhkd->bhqd", weights, vt)
         out = jax.lax.optimization_barrier(out)
@@ -202,14 +207,18 @@ class CrossAttention(nn.Module):
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
 
         if context is x and os.environ.get("SD_TPU_PROJ_BARRIER", "0") == "1":
-            # Perf experiment (default off until measured in-context): on the
-            # self-attention sites XLA fuses the head-split reshape + the
-            # flash kernel's (0,2,1,3) transpose INTO the q/v projection
-            # dots, lowering them as dilated convs at ~36-60% of their
-            # matmul bounds (floor-table r3; to_k — fused with the kt
+            # Perf experiment, MEASURED IN-CONTEXT AND LOST (r3, keep OFF):
+            # on the self-attention sites XLA fuses the head-split reshape +
+            # the flash kernel's (0,2,1,3) transpose INTO the q/v projection
+            # dots, lowering them as dilated convs priced at ~36-60% of
+            # their matmul bounds (floor-table r3; to_k — fused with the kt
             # transpose instead — runs AT bound, which is why k is exempt).
-            # The barrier forces clean [BN,C]x[C,C] dots; the transpose
-            # becomes an explicit copy (~0.06 ms at N=4096 vs ~0.17 saved).
+            # The barrier forces clean [BN,C]x[C,C] dots + explicit copies:
+            # measured 115.39 ms/step vs 113.50 auto (both flags together
+            # 115.27; tools/bench_attn.py unet projbar/lowerboth, honest
+            # graph). The fused dilated-conv lowering is in-context optimal;
+            # the per-site "slack" was a bound-pricing artifact. Don't
+            # re-walk without a new idea.
             q, v = jax.lax.optimization_barrier((q, v))
 
         b, nq = q.shape[0], q.shape[1]

@@ -80,6 +80,14 @@ def flash_supported(q, k, v, mask=None) -> bool:
       self N=256  d160: XLA 1.52 ms vs flash 1.20
       cross (77 keys):  XLA in-context ~0.2/layer  -> XLA
 
+    Cross ruling RE-CONFIRMED on the honest params-as-args graph (r3,
+    tools/bench_attn.py unet): auto 113.50 ms/step vs flash at the N=4096
+    cross sites 114.75 vs flash at every cross site 116.17. The floor
+    table prices XLA's five N=4096 cross einsums at 0.80 ms/site against
+    a ~0.25 one-pass bound, but that slack is a bound-pricing artifact of
+    XLA's fused dilated-conv lowering — routing them to the Pallas kernel
+    loses in context. Don't re-walk without a new idea.
+
     The kernels are differentiable (custom_vjp), so this predicate is safe
     under ``jax.grad`` — training and inference share one dispatch rule.
     """
