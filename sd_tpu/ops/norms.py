@@ -112,7 +112,11 @@ class GroupNorm32(nn.Module):
         orig_dtype = x.dtype
         sdt = _STATS_DTYPE
         mean, meansq = group_stats(x, self.num_groups, sdt)
-        var = meansq - jnp.square(mean)
+        # clamp: the single-pass E[x^2]-E[x]^2 form can go slightly NEGATIVE
+        # under fp32 cancellation on near-constant inputs (|err| ~ eps*mean^2
+        # can exceed self.eps), making rsqrt NaN — flax's use_fast_variance
+        # clamps identically
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
         rstd = jax.lax.rsqrt(var + jnp.asarray(self.eps, sdt))
         cg = c // self.num_groups
         # broadcast (B, G) stats to (B, 1.., C) and fold with scale/bias so

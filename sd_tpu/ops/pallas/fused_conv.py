@@ -456,7 +456,9 @@ def fold_gn_affine(mean, meansq, scale, bias, eps, extra_scale=None,
     g = mean.shape[-1]
     c = scale.shape[-1]
     cg = c // g
-    rstd = jax.lax.rsqrt(meansq - jnp.square(mean) + eps)
+    # clamped like GroupNorm32: E[x^2]-E[x]^2 can round negative past eps on
+    # near-constant inputs (fp32 cancellation) and NaN the rsqrt
+    rstd = jax.lax.rsqrt(jnp.maximum(meansq - jnp.square(mean), 0.0) + eps)
     rstd_c = jnp.repeat(rstd, cg, axis=-1)
     mean_c = jnp.repeat(mean, cg, axis=-1)
     a = rstd_c * scale[None, :]

@@ -50,6 +50,25 @@ def test_groupnorm32_matches_torch():
     assert_close(nhwc_to_nchw(out), t2n(ref), atol=1e-4)
 
 
+def test_groupnorm32_constant_input_finite():
+    """Regression (r3 on-chip NaN): the single-pass E[x^2]-E[x]^2 variance
+    can round NEGATIVE past eps on constant inputs (fp32 cancellation,
+    |err| ~ ulp*mean^2), so rsqrt NaN'd — e.g. a constant 3.7 fill on CPU,
+    and the all-0.01-params UNet grad test on TPU. Flax's use_fast_variance
+    clamps var at 0; GroupNorm32 must too."""
+    import jax
+    import jax.numpy as jnp
+
+    gn = GroupNorm32()
+    for c in [0.5, 3.7, 10.0, 37.3, 100.0, 113.7, 317.0, 1000.1, 5000.5]:
+        x = jnp.full((1, 8, 8, 320), c, jnp.bfloat16)
+        p = gn.init(jax.random.PRNGKey(0), x)
+        out = np.asarray(gn.apply(p, x), np.float32)
+        assert np.all(np.isfinite(out)), f"NaN at constant fill {c}"
+        # constant input => normalized term ~0 => output ~bias (zeros here)
+        assert np.max(np.abs(out)) < 1.0, f"blowup at constant fill {c}"
+
+
 # ---------------------------------------------------------------- attention core
 
 

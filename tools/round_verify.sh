@@ -10,7 +10,9 @@ round="${ROUND:-?}"
 
 run() {  # run <tag> <cmd...> -> "tag=pass|FAIL(code)"
   local tag=$1; shift
-  if "$@"; then echo "$tag=pass"; else echo "$tag=FAIL($?)"; fi
+  # Callers capture our stdout with $(...): route the test run's own output
+  # to stderr so only the one-line verdict lands in the PARITY.md log entry.
+  if "$@" 1>&2; then echo "$tag=pass"; else echo "$tag=FAIL($?)"; fi
 }
 
 r1=$(run fullshape env SD_TPU_FULLSHAPE=1 \
