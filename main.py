@@ -110,7 +110,25 @@ def main():
     else:
         tx = optax.adamw(lr)
 
-    trainer_obj = LDMTrainer(ldm=ldm, optimizer=tx)
+    # model-level training knobs from the YAML (ddpm.py ctor kwargs):
+    # cond_stage_trainable -> optimizer/EMA/ckpt coverage of the cond stage
+    # (ddpm.py:509-528,1361-1366), learn_logvar (ddpm.py:111-114,1367-1369),
+    # scale_by_std first-batch latent calibration (ddpm.py:476-491)
+    mp = config["model"]["params"]
+    train_cond_stage = bool(mp.get("cond_stage_trainable", False))
+    if train_cond_stage:
+        print("LatentDiffusion: Also optimizing conditioner params!")
+    trainer_obj = LDMTrainer(
+        ldm=ldm, optimizer=tx,
+        train_cond_stage=train_cond_stage,
+        scale_by_std=bool(mp.get("scale_by_std", False)),
+        learn_logvar=bool(mp.get("learn_logvar", False)),
+        logvar_init=float(mp.get("logvar_init", 0.0)),
+        loss_type=mp.get("loss_type", "l2"),
+        l_simple_weight=float(mp.get("l_simple_weight", 1.0)),
+        original_elbo_weight=float(mp.get("original_elbo_weight", 0.0)),
+        use_ema=bool(mp.get("use_ema", True)),
+    )
     state = trainer_obj.init_state()
 
     harness = Trainer(

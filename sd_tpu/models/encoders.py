@@ -5,7 +5,9 @@ The cond-stage zoo (SURVEY.md §2.4):
 - :class:`TransformerEmbedder` / :class:`BERTEmbedder` — from-scratch text
   transformer (the vendored lucidrains x-transformer, ``x_transformer.py``;
   used by the LAION-400M 1.4B txt2img model). Rebuilt as a standard pre-LN
-  encoder; weight-compat for that one model family is tracked separately.
+  encoder, weight-compatible with the reference's x-transformer layout via
+  :func:`port_transformer_wrapper` below (parity test:
+  ``tests/test_extras.py::test_transformer_embedder_xtransformer_parity``).
 - :class:`SpatialRescaler` — resize + optional 1x1 channel map for
   segmentation conditioning (``modules.py:106-135``)
 - :class:`FrozenCLIPEmbedder` — SD's text encoder (``modules.py:137-162``):

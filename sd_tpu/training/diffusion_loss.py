@@ -83,7 +83,16 @@ class TrainState(NamedTuple):
 
 @dataclasses.dataclass
 class LDMTrainer:
-    """Binds the frozen parts of an LDM to a pure train step."""
+    """Binds the frozen parts of an LDM to a pure train step.
+
+    ``train_cond_stage`` mirrors the reference's ``cond_stage_trainable``
+    (``ddpm.py:509-528``): the cond-stage params join the optimizer
+    (``configure_optimizers``, ``ddpm.py:1361-1366``), the EMA shadow, and
+    checkpoints. ``learn_logvar`` adds the per-timestep logvar table as a
+    trainable leaf (``ddpm.py:111-114,1367-1369``). ``scale_by_std`` arms the
+    first-batch latent-std calibration (``ddpm.py:476-491``) performed by
+    :meth:`calibrate_scale_by_std`.
+    """
 
     ldm: LatentDiffusion
     optimizer: optax.GradientTransformation
@@ -94,6 +103,9 @@ class LDMTrainer:
     use_ema: bool = True
     ema_decay: float = 0.9999
     accumulate_grad_batches: int = 1
+    learn_logvar: bool = False
+    logvar_init: float = 0.0
+    scale_by_std: bool = False
 
     # ------------------------------------------------------------ state
 
@@ -101,12 +113,40 @@ class LDMTrainer:
         params = {"unet": self.ldm.unet_params}
         if self.train_cond_stage and self.ldm.cond_stage_params is not None:
             params["cond_stage"] = self.ldm.cond_stage_params
+        if self.learn_logvar:
+            # trainable per-t logvar (ddpm.py:112-114); joins the optimizer
+            # like the reference's nn.Parameter (ddpm.py:1367-1369)
+            params["logvar"] = jnp.full(
+                (self.ldm.schedule.num_timesteps,), self.logvar_init,
+                jnp.float32)
         return TrainState(
             step=jnp.asarray(0, jnp.int32),
             params=params,
             opt_state=self.optimizer.init(params),
             ema=ema_init(params, self.ema_decay) if self.use_ema else None,
         )
+
+    # ------------------------------------------------- std calibration
+
+    def calibrate_scale_by_std(self, batch, rng) -> float:
+        """First-batch latent rescaling (``ddpm.py:476-491``): set
+        ``scale_factor = 1 / std(z)`` from the first train batch's latents
+        (encoded at scale 1). Mutates ``self.ldm`` IN PLACE so the jitted
+        step (traced after this runs) and all eval/image-log rebinds see the
+        calibrated value. Returns the new scale factor.
+        """
+        assert float(self.ldm.scale_factor) == 1.0, (
+            "rather not use custom rescaling and std-rescaling simultaneously"
+        )  # ddpm.py:481
+        print("### USING STD-RESCALING ###")
+        z = self.ldm.encode_to_latent(jnp.asarray(batch["image"]), rng=rng)
+        # torch .std() is the unbiased (ddof=1) estimator (ddpm.py:489)
+        std = float(jnp.std(z.reshape(-1), ddof=1))
+        scale = 1.0 / std
+        self.ldm = dataclasses.replace(self.ldm, scale_factor=scale)
+        print(f"setting self.scale_factor to {scale}")
+        print("### USING STD-RESCALING ###")
+        return scale
 
     # ------------------------------------------------------- loss parts
 
@@ -135,11 +175,20 @@ class LDMTrainer:
         b = z.shape[0]
         t = jax.random.randint(k_t, (b,), 0, self.ldm.schedule.num_timesteps)
         noise = jax.random.normal(k_noise, z.shape, z.dtype)
+        if self.learn_logvar:
+            logvar = params["logvar"]
+        elif self.logvar_init != 0.0:
+            # static (non-learned) per-t logvar table, ddpm.py:112
+            logvar = jnp.full((self.ldm.schedule.num_timesteps,),
+                              self.logvar_init, jnp.float32)
+        else:
+            logvar = None
         return p_losses(
             lambda xx, tt, cc: self._apply_model(params, xx, tt, cc),
             self.ldm.schedule, z, cond, t, noise,
             parameterization=self.ldm.parameterization,
             loss_type=self.loss_type,
+            logvar=logvar,
             l_simple_weight=self.l_simple_weight,
             original_elbo_weight=self.original_elbo_weight,
         )

@@ -205,6 +205,16 @@ class Trainer:
         print("Summoning checkpoint (SIGUSR1).")
         self._melk_requested = True
 
+    def _set_scale_factor(self, scale: float):
+        """Rebind a (restored or freshly calibrated) latent scale_factor into
+        the live LDM bundles and record it in checkpoint metadata."""
+        self.ckpt.extra_meta["scale_factor"] = float(scale)
+        if getattr(self.trainer_obj, "ldm", None) is not None:
+            self.trainer_obj.ldm = dataclasses.replace(
+                self.trainer_obj.ldm, scale_factor=float(scale))
+        if self.ldm is not None:
+            self.ldm = dataclasses.replace(self.ldm, scale_factor=float(scale))
+
     def dump_config(self, config: Dict):
         """SetupCallback config dump (``main.py:257-275``)."""
         if not is_main_process():
@@ -224,11 +234,27 @@ class Trainer:
         always rebinds; validation/image-logging rebind from the new state).
         """
         rng = jax.random.PRNGKey(self.seed)
+        restored = False
         if resume:
             path = latest_checkpoint(os.path.join(self.logdir, "checkpoints"))
             if path:
                 state, meta = restore_checkpoint(path, target=state)
+                restored = True
                 print(f"Restored from {path} (step {meta and meta.get('step')})")
+                # restore a std-calibrated latent scale (ddpm.py:476-491 sets
+                # it as a buffer, so the reference round-trips it through the
+                # state_dict; we round-trip it through checkpoint metadata)
+                if meta and meta.get("scale_factor") is not None:
+                    self._set_scale_factor(float(meta["scale_factor"]))
+
+        # first-batch latent-std calibration (ddpm.py:476-491): only on a
+        # fresh run (the reference gates on ``not restarted_from_ckpt``), and
+        # BEFORE the train step is traced so the jit constant is calibrated
+        if getattr(self.trainer_obj, "scale_by_std", False) and not restored:
+            rng, k_cal = jax.random.split(rng)
+            batch = _to_device(next(iter(data.train_dataloader())))
+            scale = self.trainer_obj.calibrate_scale_by_std(batch, k_cal)
+            self._set_scale_factor(scale)
 
         # donate the incoming state: the loop rebinds it every iteration and
         # never touches the old buffers, so XLA reuses the params + optimizer
@@ -260,8 +286,10 @@ class Trainer:
                             self.metrics_writer.write(
                                 step, {"train/loss": loss, "train/it_per_sec": rate})
                     if self.image_logger is not None and self.ldm is not None:
-                        ldm = dataclasses.replace(
-                            self.ldm, unet_params=state.params["unet"])
+                        rebind = {"unet_params": state.params["unet"]}
+                        if "cond_stage" in state.params:  # cond_stage_trainable
+                            rebind["cond_stage_params"] = state.params["cond_stage"]
+                        ldm = dataclasses.replace(self.ldm, **rebind)
                         self.image_logger(ldm, batch, step, rng)
                     if step % self.ckpt_every == 0 or self._melk_requested:
                         self.ckpt.save_last(state, step, _scalars(aux))

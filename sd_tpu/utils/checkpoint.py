@@ -82,12 +82,20 @@ class CheckpointManager:
         self.save_top_k = save_top_k
         self.mode = mode
         self._tracked: List[tuple] = []  # (metric, path)
+        # run-level metadata written into every checkpoint's sidecar json
+        # (e.g. the scale_by_std-calibrated scale_factor, ddpm.py:476-491)
+        self.extra_meta: Dict[str, Any] = {}
         os.makedirs(ckpt_dir, exist_ok=True)
+
+    def _meta(self, step: int, metrics: Optional[Dict]) -> Dict:
+        meta = {"step": int(step), "metrics": _jsonable(metrics)}
+        meta.update(self.extra_meta)
+        return meta
 
     def save_last(self, tree, step: int, metrics: Optional[Dict] = None):
         save_checkpoint(
             os.path.join(self.ckpt_dir, "last"), tree,
-            metadata={"step": int(step), "metrics": _jsonable(metrics)},
+            metadata=self._meta(step, metrics),
         )
 
     def save_monitored(self, tree, step: int, metrics: Dict):
@@ -96,8 +104,7 @@ class CheckpointManager:
             return
         value = float(metrics[self.monitor])
         path = os.path.join(self.ckpt_dir, f"step_{int(step)}")
-        save_checkpoint(path, tree, metadata={
-            "step": int(step), "metrics": _jsonable(metrics)})
+        save_checkpoint(path, tree, metadata=self._meta(step, metrics))
         self._tracked.append((value, path))
         reverse = self.mode == "max"
         self._tracked.sort(key=lambda t: t[0], reverse=reverse)

@@ -56,9 +56,6 @@ def test_groupnorm32_constant_input_finite():
     |err| ~ ulp*mean^2), so rsqrt NaN'd — e.g. a constant 3.7 fill on CPU,
     and the all-0.01-params UNet grad test on TPU. Flax's use_fast_variance
     clamps var at 0; GroupNorm32 must too."""
-    import jax
-    import jax.numpy as jnp
-
     gn = GroupNorm32()
     for c in [0.5, 3.7, 10.0, 37.3, 100.0, 113.7, 317.0, 1000.1, 5000.5]:
         x = jnp.full((1, 8, 8, 320), c, jnp.bfloat16)
