@@ -25,6 +25,9 @@ def parse_args():
     p.add_argument("-l", "--logdir", type=str, default="logs")
     p.add_argument("-s", "--seed", type=int, default=23)
     p.add_argument("--max_steps", type=int, default=1000)
+    p.add_argument("--val_every", type=int, default=0)
+    p.add_argument("--ckpt_every", type=int, default=1000)
+    p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--scale_lr", type=lambda v: v.lower() != "false", default=True)
     p.add_argument("--ckpt", type=str, default="",
                    help="torch .ckpt to warm-start from (weight port)")
@@ -131,11 +134,16 @@ def main():
     )
     state = trainer_obj.init_state()
 
+    from sd_tpu.utils.profiling import MetricsWriter
+
     harness = Trainer(
         trainer_obj=trainer_obj, ldm=ldm, logdir=logdir,
         max_steps=opt.max_steps, seed=opt.seed,
+        val_every=opt.val_every, ckpt_every=opt.ckpt_every,
+        log_every=opt.log_every,
         monitor=config["model"].get("params", {}).get("monitor"),
         image_logger=ImageLogger(logdir),
+        metrics_writer=MetricsWriter(logdir),
     )
     harness.dump_config(config)
 

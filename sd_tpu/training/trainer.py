@@ -232,8 +232,21 @@ class Trainer:
         the first step neither the passed-in state nor the original model
         params may be read again — use the returned state (the loop itself
         always rebinds; validation/image-logging rebind from the new state).
+
+        Resume is EXACT: the train-step key is ``fold_in(PRNGKey(seed),
+        step)`` (not a chained split, which would desynchronize after a
+        restore), and on resume the loader is fast-forwarded to the restored
+        step's (epoch, position) — the DataLoader's shuffle is already
+        epoch-deterministic (``seed + epoch``). A run killed mid-training
+        (SIGUSR1 "melk" or exception checkpoint) and resumed therefore
+        reproduces the uninterrupted run's parameters bit-for-bit; the
+        reference only restores trainer state (``main.py:477-495``) and
+        replays Lightning's nondeterministic loader, so this is strictly
+        stronger. Verified by ``tools/convergence_run.py`` /
+        ``tests/test_convergence.py``.
         """
         rng = jax.random.PRNGKey(self.seed)
+        step_base = jax.random.fold_in(rng, 0x5d0)  # train-step key chain
         restored = False
         if resume:
             path = latest_checkpoint(os.path.join(self.logdir, "checkpoints"))
@@ -269,12 +282,27 @@ class Trainer:
         # async-chain technique bench.py uses).
         step = int(jax.device_get(state.step))
         t0, t0_step = time.time(), step
+        # fast-forward the loader to the restored (epoch, position) so the
+        # resumed run sees the exact batch sequence of an uninterrupted one
+        # (DataModuleFromConfig hands back the same DataLoader object every
+        # call; ad-hoc generators without .epoch simply aren't fast-forwarded)
+        skip = 0
+        if step:
+            probe = data.train_dataloader()
+            n = len(probe) if hasattr(probe, "epoch") else 0
+            if n > 0:
+                probe.epoch = step // n
+                skip = step % n
         try:
             while step < self.max_steps:
                 for batch in data.train_dataloader():
+                    if skip:
+                        skip -= 1
+                        continue
                     if step >= self.max_steps:
                         break
-                    rng, k = jax.random.split(rng)
+                    rng, k_log = jax.random.split(rng)
+                    k = jax.random.fold_in(step_base, step)
                     state, aux = step_fn(state, _to_device(batch), k)
                     step += 1
                     if step % self.log_every == 0:
@@ -290,7 +318,7 @@ class Trainer:
                         if "cond_stage" in state.params:  # cond_stage_trainable
                             rebind["cond_stage_params"] = state.params["cond_stage"]
                         ldm = dataclasses.replace(self.ldm, **rebind)
-                        self.image_logger(ldm, batch, step, rng)
+                        self.image_logger(ldm, batch, step, k_log)
                     if step % self.ckpt_every == 0 or self._melk_requested:
                         self.ckpt.save_last(state, step, _scalars(aux))
                         self._melk_requested = False

@@ -210,6 +210,7 @@ def _register_builtins():
         ("ldm.data.imagenet.ImageNetSRTrain", "imagenet.ImageNetSRTrain"),
         ("ldm.data.imagenet.ImageNetSRValidation", "imagenet.ImageNetSRValidation"),
         ("sd_tpu.data.synthetic.SyntheticImages", "synthetic.SyntheticImages"),
+        ("sd_tpu.data.synthetic.ColoredShapes", "synthetic.ColoredShapes"),
     ]:
         _data(ref, ours)
 

@@ -1,0 +1,264 @@
+"""Training-convergence demonstration — VERDICT r3 #5.
+
+Drives the REAL CLI (``main.py``) on CPU over the deterministic
+ColoredShapes class-conditional distribution
+(``configs/sd_tpu/convergence-shapes.yaml``) and produces the three
+artifacts the reference's L4 exists to produce (``main.py:418-741``):
+
+  (i)   a monotonically-decreasing smoothed loss curve (metrics.jsonl from
+        the MetricsWriter main.py now wires);
+  (ii)  ImageLogger grids at start / middle / end showing sample quality
+        visibly improving;
+  (iii) a mid-run SIGUSR1 ("melk", reference main.py:696-713) checkpoint
+        followed by a HARD KILL (SIGKILL — no exception-path save), whose
+        resumed run reproduces the uninterrupted run's final parameters
+        bit-for-bit (exactness comes from the trainer's step-indexed
+        fold_in keys + epoch-deterministic loader fast-forward).
+
+Everything lands in ``artifacts/convergence/`` (REPORT.md + loss curve +
+grids + resume_report.json). Short replay: ``tests/test_convergence.py``.
+
+Usage: python tools/convergence_run.py [--steps 3000] [--out artifacts/convergence]
+"""
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFG = os.path.join(REPO, "configs/sd_tpu/convergence-shapes.yaml")
+
+
+def run_env():
+    env = dict(os.environ)
+    env["SD_TPU_PLATFORM"] = "cpu"
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    return env
+
+
+def launch(logroot, name, max_steps, resume=None, wait=True):
+    cmd = [sys.executable, os.path.join(REPO, "main.py"), "-t",
+           "--max_steps", str(max_steps), "-s", "23",
+           "--log_every", "25", "--ckpt_every", "1000000"]
+    if resume:
+        cmd += ["-r", resume]
+    else:
+        cmd += ["-b", CFG, "-l", logroot, "-n", name]
+    proc = subprocess.Popen(cmd, cwd=REPO, env=run_env(),
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                            text=True)
+    if not wait:
+        return proc
+    out, _ = proc.communicate()
+    if proc.returncode != 0:
+        sys.stderr.write(out[-4000:])
+        raise RuntimeError(f"run {name} failed rc={proc.returncode}")
+    return proc
+
+
+def find_logdir(logroot, name):
+    cands = sorted(glob.glob(os.path.join(logroot, f"*_{name}")))
+    assert cands, f"no logdir *_{name} under {logroot}"
+    return cands[-1]
+
+
+def read_metrics(logdir):
+    rows = []
+    with open(os.path.join(logdir, "metrics.jsonl")) as f:
+        for line in f:
+            rows.append(json.loads(line))
+    return [r for r in rows if "train/loss" in r]
+
+
+def wait_for_step(logdir, step, proc, timeout=3600):
+    """Poll metrics.jsonl until the run passes `step`."""
+    t0 = time.time()
+    path = os.path.join(logdir, "metrics.jsonl")
+    while time.time() - t0 < timeout:
+        if proc.poll() is not None:
+            raise RuntimeError("run exited before reaching kill step")
+        if os.path.exists(path):
+            try:
+                rows = read_metrics(logdir)
+            except (json.JSONDecodeError, OSError):
+                rows = []
+            if rows and rows[-1]["step"] >= step:
+                return rows[-1]["step"]
+        time.sleep(2)
+    raise TimeoutError(f"never reached step {step}")
+
+
+def wait_for_melk_ckpt(logdir, min_step, timeout=300):
+    meta = os.path.join(logdir, "checkpoints", "last", "sd_tpu_meta.json")
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if os.path.exists(meta):
+            try:
+                with open(meta) as f:
+                    m = json.load(f)
+                if int(m.get("step", -1)) >= min_step:
+                    return int(m["step"])
+            except (json.JSONDecodeError, OSError):
+                pass
+        time.sleep(1)
+    raise TimeoutError("melk checkpoint never appeared")
+
+
+def load_params(logdir):
+    sys.path.insert(0, REPO)
+    from sd_tpu.utils.checkpoint import restore_checkpoint
+
+    tree, meta = restore_checkpoint(
+        os.path.join(logdir, "checkpoints", "last"))
+    return tree, meta
+
+
+def max_abs_diff(a, b):
+    import numpy as np
+
+    worst = 0.0
+    stack = [(a, b)]
+    while stack:
+        x, y = stack.pop()
+        if isinstance(x, dict):
+            assert set(x) == set(y), f"tree mismatch {set(x) ^ set(y)}"
+            stack.extend((x[k], y[k]) for k in x)
+        elif isinstance(x, (list, tuple)):
+            assert len(x) == len(y)
+            stack.extend(zip(x, y))
+        elif x is None:
+            assert y is None
+        else:
+            xa, ya = np.asarray(x), np.asarray(y)
+            if xa.dtype.kind in "fi" and xa.size:
+                worst = max(worst, float(np.max(np.abs(
+                    xa.astype(np.float64) - ya.astype(np.float64)))))
+    return worst
+
+
+def smooth(vals, w=10):
+    out = []
+    for i in range(len(vals)):
+        lo = max(0, i - w + 1)
+        out.append(sum(vals[lo:i + 1]) / (i + 1 - lo))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2250)
+    ap.add_argument("--out", default=os.path.join(REPO, "artifacts/convergence"))
+    ap.add_argument("--workdir", default="/tmp/convergence_r4")
+    args = ap.parse_args()
+    S = args.steps
+    shutil.rmtree(args.workdir, ignore_errors=True)
+    os.makedirs(args.workdir, exist_ok=True)
+    os.makedirs(args.out, exist_ok=True)
+
+    # ---- run A: uninterrupted
+    print(f"[A] uninterrupted {S}-step run through main.py (CPU)...")
+    t0 = time.time()
+    launch(args.workdir, "runa", S)
+    dir_a = find_logdir(args.workdir, "runa")
+    dt_a = time.time() - t0
+    rows_a = read_metrics(dir_a)
+    print(f"[A] done in {dt_a:.0f}s, {len(rows_a)} loss points, "
+          f"final loss {rows_a[-1]['train/loss']:.4f}")
+
+    # ---- run B: SIGUSR1 melk at ~S/2, then HARD kill, then resume
+    print(f"[B] launching, will SIGUSR1 at ~step {S // 2} then SIGKILL...")
+    proc = launch(args.workdir, "runb", S, wait=False)
+    time.sleep(5)
+    dir_b = find_logdir(args.workdir, "runb")
+    reached = wait_for_step(dir_b, S // 2, proc)
+    os.kill(proc.pid, signal.SIGUSR1)
+    melk_step = wait_for_melk_ckpt(dir_b, reached)
+    os.kill(proc.pid, signal.SIGKILL)
+    proc.wait()
+    print(f"[B] melk checkpoint at step {melk_step}; process SIGKILLed. "
+          f"Resuming to {S}...")
+    launch(args.workdir, "runb-resume", S, resume=dir_b)
+    rows_b = read_metrics(dir_b)
+
+    # ---- compare final params bit-for-bit
+    tree_a, meta_a = load_params(dir_a)
+    tree_b, meta_b = load_params(dir_b)
+    assert meta_a["step"] == S and meta_b["step"] == S, (meta_a, meta_b)
+    d_params = max_abs_diff(tree_a["params"], tree_b["params"])
+    d_ema = (max_abs_diff(tree_a["ema"], tree_b["ema"])
+             if "ema" in tree_a else None)
+    d_opt = max_abs_diff(tree_a["opt_state"], tree_b["opt_state"]) if (
+        "opt_state" in tree_a) else None
+    print(f"resume equivalence: max|params_A - params_B| = {d_params:.3e}, "
+          f"ema = {d_ema}, opt = {d_opt}")
+
+    # ---- loss-curve summary
+    losses = [r["train/loss"] for r in rows_a]
+    sm = smooth(losses, w=10)
+    head, tail = sm[min(3, len(sm) - 1)], sm[-1]
+    # monotonic-on-smoothed check with small tolerance
+    viol = sum(1 for i in range(4, len(sm)) if sm[i] > sm[i - 1] * 1.02)
+
+    # ---- gather grids
+    grids = {}
+    img_dir = os.path.join(dir_a, "images")
+    for f in sorted(os.listdir(img_dir)):
+        if f.startswith("train_samples") or f.startswith("train_inputs"):
+            shutil.copy(os.path.join(img_dir, f), os.path.join(args.out, f))
+            grids.setdefault(f.split("_step")[0], []).append(f)
+    shutil.copy(os.path.join(dir_a, "metrics.jsonl"),
+                os.path.join(args.out, "metrics_runA.jsonl"))
+
+    report = {
+        "config": os.path.relpath(CFG, REPO),
+        "steps": S,
+        "runA_seconds": round(dt_a, 1),
+        "loss_first_smoothed": round(head, 5),
+        "loss_final_smoothed": round(tail, 5),
+        "loss_reduction_pct": round(100 * (1 - tail / head), 2),
+        "smoothed_monotonic_violations_pct": round(
+            100 * viol / max(len(sm) - 4, 1), 2),
+        "melk_step": melk_step,
+        "kill": "SIGUSR1 (melk save) + SIGKILL (no exception-path save)",
+        "resume_max_abs_diff": {"params": d_params, "ema": d_ema,
+                                "opt_state": d_opt},
+        "runB_losses_match_runA": [r["train/loss"] for r in rows_b][-3:] ==
+                                   [r["train/loss"] for r in rows_a][-3:],
+        "grids": {k: v for k, v in grids.items()},
+    }
+    with open(os.path.join(args.out, "resume_report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    with open(os.path.join(args.out, "REPORT.md"), "w") as f:
+        f.write(
+            "# Training-convergence demonstration (round 4)\n\n"
+            f"One real run through `main.py` (CPU, seed 23) on the "
+            f"deterministic class-conditional ColoredShapes distribution "
+            f"(`{report['config']}`), {S} steps.\n\n"
+            f"- smoothed train loss: {head:.4f} -> {tail:.4f} "
+            f"({report['loss_reduction_pct']}% reduction; "
+            f"{report['smoothed_monotonic_violations_pct']}% of smoothed "
+            f"points rise >2% — see metrics_runA.jsonl)\n"
+            f"- sample grids: `train_samples_step*.png` (start / middle / "
+            f"end; inputs alongside)\n"
+            f"- kill/resume: SIGUSR1 melk checkpoint at step {melk_step}, "
+            f"then SIGKILL; resumed run's final params match the "
+            f"uninterrupted run with max|diff| = {d_params:.3e} "
+            f"(ema {d_ema}, optimizer state {d_opt})\n\n"
+            "Short replay: `tests/test_convergence.py`. Exact-resume "
+            "mechanics: step-indexed fold_in train keys + epoch-"
+            "deterministic loader fast-forward (`sd_tpu/training/"
+            "trainer.py::Trainer.fit`).\n")
+    print(json.dumps(report, indent=1))
+    ok = (report["loss_reduction_pct"] > 50 and d_params == 0.0)
+    print("CONVERGENCE+RESUME:", "PASS" if ok else "CHECK REPORT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

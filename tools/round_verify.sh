@@ -19,11 +19,14 @@ r1=$(run fullshape env SD_TPU_FULLSHAPE=1 \
      python -m pytest tests/test_fullshape_parity.py -q)
 r2=$(run tpu_only env SD_TPU_RUN_TPU_TESTS=1 \
      python -m pytest tests/test_tpu_only.py -q)
+# perf-regression pin (VERDICT r3 #7): bench.py on chip vs tools/perf_pin.json;
+# >3% below the pin fails the gate. Prints its own one-line verdict.
+r3=$(python tools/check_perf_pin.py || true)
 
-line="- ${stamp} round=${round}: ${r1}, ${r2}"
+line="- ${stamp} round=${round}: ${r1}, ${r2}, ${r3}"
 if ! grep -q "^## Round verification log" PARITY.md; then
   printf "\n## Round verification log\n\n" >> PARITY.md
 fi
 printf "%s\n" "$line" >> PARITY.md
 echo "$line"
-case "$r1$r2" in *FAIL*) exit 1;; esac
+case "$r1$r2$r3" in *FAIL*) exit 1;; esac
