@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from sd_tpu.ops.pallas.winograd_conv import winograd_conv3x3, winograd_supported
+from sd_tpu.ops.quant import int8_conv3x3, int8_enabled
 
 __all__ = ["Conv3x3"]
 
@@ -56,6 +57,10 @@ class Conv3x3(nn.Module):
         use_wino = self.impl == "winograd" or (
             self.impl == "auto"
             and winograd_supported(x.shape, kernel.shape, dtype))
+        if self.impl == "auto" and not use_wino and int8_enabled(
+                x.shape, dtype):
+            # opt-in W8A8 serving mode (SD_TPU_INT8) — see ops/quant.py
+            return int8_conv3x3(x, kernel, bias, dtype)
         if use_wino:
             y = winograd_conv3x3(x, kernel, interpret=self.interpret)
         else:

@@ -1,0 +1,97 @@
+"""W8A8 int8 quantized convolution (inference-time, opt-in).
+
+VERDICT r3 #6: the 4x A100 target is priced against bf16's 197 TFLOP/s MXU
+rate and the floor table says the conv path already runs at 96% of that
+bound — int8 (394 TOPS on v5e) is the only lever that moves the bound
+itself. Stage-A microbenches (tools/exp_int8.py, v5e, this round) showed
+XLA:TPU does lower int8 convolutions at a higher MXU rate:
+
+    conv3x3 64x64 c320   bf16 2.624 ms  int8pure 1.537 (1.71x)  W8A8 1.760 (1.49x)
+    conv3x3 32x32 c640   bf16 1.792 ms  int8pure 1.273 (1.41x)  W8A8 1.474 (1.22x)
+    conv3x3 16x16 c1280  bf16 1.491 ms  int8pure 1.234 (1.21x)  W8A8 1.399 (1.07x)
+    conv3x3 32x32 c1920  bf16 2.891 ms  int8pure 2.001 (1.44x)  W8A8 2.754 (1.05x)
+
+while every *dense* site LOSES with dynamic activation quantization
+(0.76-0.88x) — so only the spatial-conv sites (``sd_tpu/ops/conv.py``)
+dispatch here, and only when ``SD_TPU_INT8`` opts in.
+
+Stage-B in-context ablation (tools/bench_attn.py unet, full CFG UNet step,
+v5e, this round — the harness every r2/r3 dispatch decision used):
+
+    auto (bf16)            113.29 ms/step
+    int8 @ 64x64 sites     110.33
+    int8 @ 64+32px sites   105.16
+    int8 @ ALL conv sites  100.18   (-11.6% vs bf16)
+
+The win exceeds the microbench prediction at the 16x16 sites because the
+skip-concat convs there carry the largest cin (1920/2560) and the dequant
+epilogue fuses where the bf16 conv's convert epilogue used to sit.
+
+Scheme: per-output-channel symmetric weight scales (computed from the fp32
+kernel inside the jitted program — weights are jit arguments, so this costs
+one small reduce per site per call), per-tensor dynamic symmetric activation
+scale, int8 x int8 -> int32 MXU conv, fp32 dequant + bias epilogue.
+
+Quality: W8A8 is a lossy approximation — it cannot hold the seed-parity
+gate that every other dispatch decision in this repo passes, and the
+zero-egress environment has no trained checkpoint to measure real sample
+quality on (BASELINE.md gate). It therefore ships OFF by default as an
+explicitly opt-in serving mode, with the measured in-context speedup
+recorded in PARITY.md. Inference-only: ``round`` has zero gradient a.e.;
+do not enable while training.
+
+``SD_TPU_INT8`` values:
+    0/off (default)  bf16 convs everywhere
+    1/all            every Conv3x3 site
+    <N>              only sites with H*W >= N (e.g. 4096 = the 64x64 L0
+                     sites where the measured win is largest)
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["int8_enabled", "int8_conv3x3"]
+
+
+def int8_enabled(x_shape, dtype) -> bool:
+    """Trace-time dispatch gate for the W8A8 conv path."""
+    env = os.environ.get("SD_TPU_INT8", "0").lower()
+    if env in ("0", "off", ""):
+        return False
+    if dtype != jnp.bfloat16:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if env in ("1", "all"):
+        return True
+    try:
+        min_hw = int(env)
+    except ValueError:
+        return False
+    return x_shape[1] * x_shape[2] >= min_hw
+
+
+def int8_conv3x3(x, kernel, bias, out_dtype):
+    """W8A8 3x3 stride-1 SAME conv: quantize -> int8 MXU conv -> dequant.
+
+    ``x`` [B,H,W,Cin] (any float dtype), ``kernel`` [3,3,Cin,Cout] fp32,
+    ``bias`` [Cout] fp32. Returns [B,H,W,Cout] in ``out_dtype``.
+    """
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(xf / sx), -127.0, 127.0).astype(jnp.int8)
+
+    kf = kernel.astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0, 1e-12)
+    kq = jnp.clip(jnp.round(kf / sw[None, None, None, :]),
+                  -127.0, 127.0).astype(jnp.int8)
+
+    y = jax.lax.conv_general_dilated(
+        xq, kq, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (sx * sw)
+            + bias.astype(jnp.float32)).astype(out_dtype)

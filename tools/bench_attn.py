@@ -202,6 +202,11 @@ def bench_unet(variants):
         "crossbmm": ("SD_TPU_CROSS_BMM",),
         "lowerboth": ("SD_TPU_PROJ_BARRIER", "SD_TPU_CROSS_BMM"),
     }
+    ENV_VALUE_FLAGS = {  # W8A8 conv dispatch (ops/quant.py), r4 #6 stage B
+        "int8all": {"SD_TPU_INT8": "1"},     # every Conv3x3 site
+        "int8l0": {"SD_TPU_INT8": "4096"},   # 64x64 sites only
+        "int8l01": {"SD_TPU_INT8": "1024"},  # 64x64 + 32x32 sites
+    }
 
     results = {}
     for kind in variants:
@@ -209,6 +214,9 @@ def bench_unet(variants):
         if kind in LOWER_FLAGS:
             for f in LOWER_FLAGS[kind]:
                 os.environ[f] = "1"
+            attn_kind = "auto"
+        elif kind in ENV_VALUE_FLAGS:
+            os.environ.update(ENV_VALUE_FLAGS[kind])
             attn_kind = "auto"
         elif kind == "bf16norm":  # fp32-norm-island cost probe (attn = auto)
             norms_mod.set_norm_stats_dtype(jnp.bfloat16)
@@ -240,7 +248,8 @@ def bench_unet(variants):
             continue
         finally:
             attn_mod.dot_product_attention = real
-            for f in ("SD_TPU_PROJ_BARRIER", "SD_TPU_CROSS_BMM"):
+            for f in ("SD_TPU_PROJ_BARRIER", "SD_TPU_CROSS_BMM",
+                      "SD_TPU_INT8"):
                 os.environ.pop(f, None)
             norms_mod.set_norm_stats_dtype(jnp.float32)
             norms_mod.GroupNorm32.__call__ = real_gn_call
