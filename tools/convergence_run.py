@@ -62,10 +62,17 @@ def launch(logroot, name, max_steps, resume=None, wait=True):
     return proc
 
 
-def find_logdir(logroot, name):
-    cands = sorted(glob.glob(os.path.join(logroot, f"*_{name}")))
-    assert cands, f"no logdir *_{name} under {logroot}"
-    return cands[-1]
+def find_logdir(logroot, name, wait_s=0):
+    """Locate the run's logdir; with wait_s, poll until main.py creates it
+    (python + jax startup can take >60s on a contended single-core host)."""
+    t0 = time.time()
+    while True:
+        cands = sorted(glob.glob(os.path.join(logroot, f"*_{name}")))
+        if cands:
+            return cands[-1]
+        if time.time() - t0 >= wait_s:
+            raise AssertionError(f"no logdir *_{name} under {logroot}")
+        time.sleep(2)
 
 
 def read_metrics(logdir):
@@ -157,25 +164,40 @@ def main():
     ap.add_argument("--workdir", default="/tmp/convergence_r4")
     args = ap.parse_args()
     S = args.steps
-    shutil.rmtree(args.workdir, ignore_errors=True)
+
+    # ---- run A: uninterrupted (reused if a completed one already exists —
+    # the driver is restartable after run-B-phase failures)
+    dt_a = 0.0
+    dir_a = None
+    try:
+        cand = find_logdir(args.workdir, "runa")
+        rows = read_metrics(cand)
+        if rows and rows[-1]["step"] >= S and os.path.exists(
+                os.path.join(cand, "checkpoints", "last", "sd_tpu_meta.json")):
+            dir_a = cand
+            print(f"[A] reusing completed run at {dir_a}")
+    except (AssertionError, OSError):
+        pass
+    if dir_a is None:
+        shutil.rmtree(args.workdir, ignore_errors=True)
     os.makedirs(args.workdir, exist_ok=True)
     os.makedirs(args.out, exist_ok=True)
-
-    # ---- run A: uninterrupted
-    print(f"[A] uninterrupted {S}-step run through main.py (CPU)...")
-    t0 = time.time()
-    launch(args.workdir, "runa", S)
-    dir_a = find_logdir(args.workdir, "runa")
-    dt_a = time.time() - t0
+    if dir_a is None:
+        print(f"[A] uninterrupted {S}-step run through main.py (CPU)...")
+        t0 = time.time()
+        launch(args.workdir, "runa", S)
+        dir_a = find_logdir(args.workdir, "runa")
+        dt_a = time.time() - t0
     rows_a = read_metrics(dir_a)
     print(f"[A] done in {dt_a:.0f}s, {len(rows_a)} loss points, "
           f"final loss {rows_a[-1]['train/loss']:.4f}")
 
     # ---- run B: SIGUSR1 melk at ~S/2, then HARD kill, then resume
     print(f"[B] launching, will SIGUSR1 at ~step {S // 2} then SIGKILL...")
+    for d in glob.glob(os.path.join(args.workdir, "*_runb")):
+        shutil.rmtree(d, ignore_errors=True)
     proc = launch(args.workdir, "runb", S, wait=False)
-    time.sleep(5)
-    dir_b = find_logdir(args.workdir, "runb")
+    dir_b = find_logdir(args.workdir, "runb", wait_s=300)
     reached = wait_for_step(dir_b, S // 2, proc)
     os.kill(proc.pid, signal.SIGUSR1)
     melk_step = wait_for_melk_ckpt(dir_b, reached)

@@ -1,0 +1,158 @@
+"""W8A8 sample-quality check on a REAL trained model.
+
+The zero-egress environment has no released SD checkpoint, so the
+BASELINE-style quality gate for the int8 conv path (``sd_tpu/ops/quant.py``)
+cannot run at flagship scale. What it CAN run: the convergence
+demonstration (``tools/convergence_run.py``) trains a real class-conditional
+diffusion model on the deterministic ColoredShapes distribution through
+``main.py`` — a trained checkpoint with known ground truth. This tool
+samples that trained model twice on the TPU with identical seeds — bf16
+(shipped default) and ``SD_TPU_INT8=all`` — and reports:
+
+  - per-class color fidelity (foreground mean RGB vs the class color) and
+    background fidelity for BOTH variants — does int8 still draw the right
+    shapes?
+  - PSNR between the bf16 and int8 sample sets (how far the lossy path
+    drifts from the reference samples);
+  - side-by-side grids into the convergence artifacts dir.
+
+Note the toy model is a STRESS test for W8A8: its convs are 32-64 channels
+wide, so per-tensor activation quantization noise is proportionally much
+larger than at SD scale (320-1280 channels, where int8 averaging is far
+kinder). Passing here is strong evidence the path is numerically sane.
+
+Usage: python tools/int8_quality.py [--run /tmp/convergence_r4/<ts>_runa]
+       [--per-class 2] [--steps 50] [--out artifacts/convergence]
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFG = os.path.join(REPO, "configs/sd_tpu/convergence-shapes.yaml")
+
+
+def find_run():
+    cands = sorted(glob.glob("/tmp/convergence_r4/*_runa"))
+    assert cands, "no convergence run found; run tools/convergence_run.py"
+    return cands[-1]
+
+
+def sample_set(ldm, cond, shape, key, steps):
+    from sd_tpu.samplers import ddim_sample
+
+    z, _ = ddim_sample(ldm.apply_model, ldm.schedule, shape, cond, key,
+                       num_steps=steps)
+    return np.asarray(ldm.decode_first_stage(z)).astype(np.float32)
+
+
+def color_report(imgs, labels):
+    """Foreground color fidelity vs the parametric class colors."""
+    from sd_tpu.data.synthetic import ColoredShapes
+
+    colors = ColoredShapes._COLORS
+    ok, bg_errs, fg_errs = 0, [], []
+    for img, lab in zip(imgs, labels):
+        lum = img.max(-1) - (-0.95)
+        fg = lum > 0.5
+        bg_errs.append(float(np.abs(img[~fg] - (-0.95)).mean())
+                       if (~fg).any() else 0.0)
+        if not fg.any():
+            fg_errs.append(2.0)
+            continue
+        mean_rgb = img[fg].mean(0)
+        true = colors[lab // 4]
+        fg_errs.append(float(np.abs(mean_rgb - true).mean()))
+        nearest = int(np.argmin(np.abs(colors - mean_rgb).mean(1)))
+        ok += int(nearest == lab // 4)
+    return {
+        "color_top1_acc": round(ok / len(imgs), 4),
+        "fg_color_mae": round(float(np.mean(fg_errs)), 4),
+        "bg_mae": round(float(np.mean(bg_errs)), 4),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run", default=None)
+    ap.add_argument("--per-class", type=int, default=2)
+    ap.add_argument("--steps", type=int, default=50)
+    # MUST match the training run's -s: the ClassEmbedder is frozen (not in
+    # the trainer checkpoint) and the UNet learned against the embedding
+    # values drawn from THIS seed (convergence_run.py launches with -s 23)
+    ap.add_argument("--seed", type=int, default=23)
+    ap.add_argument("--out", default=os.path.join(REPO,
+                                                  "artifacts/convergence"))
+    args = ap.parse_args()
+    run = args.run or find_run()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sd_tpu.utils.checkpoint import restore_checkpoint
+    from sd_tpu.utils.config import build_latent_diffusion, load_yaml
+    from sd_tpu.utils.image import make_grid, save_image
+
+    cfg = load_yaml(CFG)
+    ldm = build_latent_diffusion(cfg["model"],
+                                 rng=jax.random.PRNGKey(args.seed),
+                                 init_params=True,
+                                 compute_dtype=jnp.bfloat16)
+    tree, meta = restore_checkpoint(os.path.join(run, "checkpoints", "last"))
+    params = (tree.get("ema") or {}).get("shadow") or tree["params"]
+    unet = jax.tree.map(
+        lambda x: jnp.asarray(x).astype(jnp.bfloat16)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+        else jnp.asarray(x), params["unet"])
+    ldm = ldm.with_params(unet)
+    print(f"restored step {meta.get('step')} from {run} "
+          f"(ema={'ema' in tree and tree['ema'] is not None})")
+
+    n_cls = 8
+    labels = np.repeat(np.arange(n_cls), args.per_class)
+    cond = ldm.get_learned_conditioning(jnp.asarray(labels))
+    shape = (len(labels), 32, 32, 3)
+    key = jax.random.PRNGKey(1234)
+
+    os.environ.pop("SD_TPU_INT8", None)
+    imgs_bf16 = sample_set(ldm, cond, shape, key, args.steps)
+    os.environ["SD_TPU_INT8"] = "all"
+    try:
+        imgs_int8 = sample_set(ldm, cond, shape, key, args.steps)
+    finally:
+        os.environ.pop("SD_TPU_INT8", None)
+
+    mse = float(np.mean((imgs_bf16 - imgs_int8) ** 2))
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))  # [-1,1] range -> peak 2
+    rep = {
+        "run": run,
+        "steps": args.steps,
+        "samples": int(len(labels)),
+        "platform": str(jax.devices()[0]),
+        "bf16": color_report(imgs_bf16, labels),
+        "int8": color_report(imgs_int8, labels),
+        "int8_vs_bf16_psnr_db": round(float(psnr), 2),
+    }
+    os.makedirs(args.out, exist_ok=True)
+    both = np.concatenate([imgs_bf16, imgs_int8])
+    grid = make_grid(np.clip((both + 1) / 2, 0, 1), n_rows=len(labels))
+    save_image((grid * 255).astype(np.uint8),
+               os.path.join(args.out, "int8_vs_bf16_samples.png"))
+    with open(os.path.join(args.out, "int8_quality.json"), "w") as f:
+        json.dump(rep, f, indent=1)
+    print(json.dumps(rep, indent=1))
+    ok = (rep["int8"]["color_top1_acc"] >= rep["bf16"]["color_top1_acc"] - 0.15
+          and rep["int8"]["fg_color_mae"] < 0.35)
+    print("INT8 QUALITY:", "PASS" if ok else "CHECK REPORT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
