@@ -44,12 +44,15 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
 
 __all__ = ["flash_attention", "flash_supported"]
 
@@ -440,21 +443,130 @@ def _bwd_bhnd_xla(qt, kt, vt, ot, dot_, scale: float, kv_len: int):
     return dq, dk, dv
 
 
+# ---------------------------------------------------------------------------
+# SPMD partitioning (multi-chip)
+# ---------------------------------------------------------------------------
+# A Pallas call is an opaque custom-call to the XLA SPMD partitioner: without
+# a partitioning rule GSPMD must all-gather every operand to replicated and
+# run the kernel whole on every device — silently deleting the parallelism of
+# any sharded program that contains it (DP serving, tensor-parallel UNet).
+# The kernels here are embarrassingly parallel over the batch and head dims
+# of their [B, H, N, D] operands (the grid iterates (b, h, q-block) and no
+# program crosses b or h), so we register exactly that with
+# `jax.experimental.custom_partitioning`: B and H may shard, N and D must be
+# replicated (each program needs the full KV row). Under data parallelism the
+# kernel then runs per-shard with ZERO collectives; under a megatron-style
+# tensor-parallel layout (`sd_tpu/parallel/tp.py`) the head axis shards over
+# 'model' and the collectives stay where GSPMD puts them — at the projection
+# boundaries, not around the kernel.
+#
+# Dispatch: the partitioned wrapper is used only when tracing under jit on a
+# multi-device runtime (single-chip programs keep the direct pallas_call —
+# byte-identical lowering to r3, no fusion-boundary risk to the benched
+# path). `SD_TPU_FLASH_SPMD=0` disables. custom_partitioning is not
+# differentiable, so the forward and backward kernels are wrapped SEPARATELY
+# inside the custom_vjp below — grads partition the same way.
+
+
+def _spmd_partition_wanted(x) -> bool:
+    if os.environ.get("SD_TPU_FLASH_SPMD", "1").lower() in ("0", "off", "false"):
+        return False
+    return isinstance(x, jax.core.Tracer) and jax.device_count() > 1
+
+
+def _bh_spec(sharding) -> PartitionSpec:
+    """Project an operand spec onto the supported (batch, head) dims."""
+    spec = getattr(sharding, "spec", None)
+    parts = (list(spec) if spec is not None else []) + [None] * 4
+    return PartitionSpec(parts[0], parts[1], None, None)
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_spmd(scale: float, kv_len: int, interpret: bool,
+              block_q: Optional[int], exp_bf16: Optional[bool],
+              kt_layout: bool, kv_chunk: Optional[int]):
+    @custom_partitioning
+    def fwd(qt, kt, vt):
+        return _fwd_bhnd(qt, kt, vt, scale, kv_len, interpret, block_q,
+                         exp_bf16, kt_layout, kv_chunk)
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, _bh_spec(arg_shapes[0].sharding))
+
+    def part(mesh, arg_shapes, result_shape):
+        sh = NamedSharding(mesh, _bh_spec(arg_shapes[0].sharding))
+
+        def lower(qt, kt, vt):
+            return _fwd_bhnd(qt, kt, vt, scale, kv_len, interpret, block_q,
+                             exp_bf16, kt_layout, kv_chunk)
+
+        return mesh, lower, sh, (sh, sh, sh)
+
+    fwd.def_partition(
+        partition=part,
+        infer_sharding_from_operands=infer,
+        # Shardy rule: batch/head factors propagate, token/lane factors must
+        # be replicated (each kernel program consumes the full KV row).
+        sharding_rule="b h n d, b h m d, b h m d -> b h n d",
+        need_replication_factors=("n", "d", "m"),
+    )
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_spmd(scale: float, kv_len: int, interpret: bool):
+    @custom_partitioning
+    def bwd(qt, kt, vt, ot, g):
+        return _bwd_bhnd_pallas(qt, kt, vt, ot, g, scale, kv_len, interpret)
+
+    def infer(mesh, arg_shapes, result_shape):
+        sh = NamedSharding(mesh, _bh_spec(arg_shapes[0].sharding))
+        return (sh, sh, sh)
+
+    def part(mesh, arg_shapes, result_shape):
+        sh = NamedSharding(mesh, _bh_spec(arg_shapes[0].sharding))
+
+        def lower(qt, kt, vt, ot, g):
+            return _bwd_bhnd_pallas(qt, kt, vt, ot, g, scale, kv_len,
+                                    interpret)
+
+        return mesh, lower, (sh, sh, sh), (sh,) * 5
+
+    bwd.def_partition(
+        partition=part,
+        infer_sharding_from_operands=infer,
+        sharding_rule=("b h n d, b h m d, b h m d, b h n d, b h n d "
+                       "-> b h n d, b h m d, b h m d"),
+        need_replication_factors=("n", "d", "m"),
+    )
+    return bwd
+
+
+def _dispatch_fwd(qt, kt, vt, scale: float, kv_len: int, interpret: bool,
+                  block_q: Optional[int], exp_bf16: Optional[bool],
+                  kt_layout: bool, kv_chunk: Optional[int]):
+    if _spmd_partition_wanted(qt):
+        return _fwd_spmd(float(scale), kv_len, interpret, block_q, exp_bf16,
+                         kt_layout, kv_chunk)(qt, kt, vt)
+    return _fwd_bhnd(qt, kt, vt, scale, kv_len, interpret, block_q,
+                     exp_bf16, kt_layout, kv_chunk)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _flash_bhnd(qt, kt, vt, scale: float, kv_len: int,
                 interpret: bool = False, block_q: Optional[int] = None,
                 exp_bf16: Optional[bool] = None, kt_layout: bool = True,
                 kv_chunk: Optional[int] = None):
-    return _fwd_bhnd(qt, kt, vt, scale, kv_len, interpret, block_q,
-                     exp_bf16, kt_layout, kv_chunk)
+    return _dispatch_fwd(qt, kt, vt, scale, kv_len, interpret, block_q,
+                         exp_bf16, kt_layout, kv_chunk)
 
 
 def _flash_bhnd_fwd(qt, kt, vt, scale: float, kv_len: int,
                     interpret: bool = False, block_q: Optional[int] = None,
                     exp_bf16: Optional[bool] = None, kt_layout: bool = True,
                     kv_chunk: Optional[int] = None):
-    ot = _fwd_bhnd(qt, kt, vt, scale, kv_len, interpret, block_q,
-                   exp_bf16, kt_layout, kv_chunk)
+    ot = _dispatch_fwd(qt, kt, vt, scale, kv_len, interpret, block_q,
+                       exp_bf16, kt_layout, kv_chunk)
     return ot, (qt, kt, vt, ot)
 
 
@@ -464,7 +576,10 @@ def _flash_bhnd_bwd(scale: float, kv_len: int, interpret: bool,
     qt, kt, vt, ot = res
     nq, nk = qt.shape[2], kt.shape[2]
     if nk <= _SMALL_KV or nq % _BLOCK_Q_BWD != 0:
+        # einsum backward: GSPMD partitions plain XLA ops natively
         return _bwd_bhnd_xla(qt, kt, vt, ot, g, scale, kv_len)
+    if _spmd_partition_wanted(qt):
+        return _bwd_spmd(float(scale), kv_len, interpret)(qt, kt, vt, ot, g)
     return _bwd_bhnd_pallas(qt, kt, vt, ot, g, scale, kv_len, interpret)
 
 
