@@ -17,8 +17,10 @@ def parse_args():
     p.add_argument("--n_iter", type=int, default=1)
     p.add_argument("--scale", type=float, default=7.5)
     p.add_argument("--strength", type=float, default=0.75)
-    p.add_argument("--config", type=str,
-                   default="configs/stable-diffusion/v1-inference.yaml")
+    p.add_argument("--config", type=str, default=None,
+                   help="model config yaml (default: the run dir's dumped "
+                        "config for run-dir --ckpt, else "
+                        "configs/stable-diffusion/v1-inference.yaml)")
     p.add_argument("--ckpt", type=str)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tiny", action="store_true")
@@ -49,17 +51,29 @@ def main():
         base = Txt2ImgPipeline(ldm=ldm, tokenizer=lambda t: tok(t, context_length=8),
                                downsample=2)
     else:
-        cfg = load_yaml(opt.config)
-        state_dict = None
-        if opt.ckpt:
-            from sd_tpu.utils.port import load_torch_state_dict
-
-            state_dict = load_torch_state_dict(opt.ckpt)
         from sd_tpu.pipelines.build import inference_compute_dtype
+        from sd_tpu.utils.checkpoint import is_run_path
 
-        ldm = build_latent_diffusion(cfg["model"], rng=rng, state_dict=state_dict,
-                                     init_params=state_dict is None,
-                                     compute_dtype=inference_compute_dtype())
+        if opt.ckpt and is_run_path(opt.ckpt):
+            # framework run dir (main.py product): trainable params (EMA) +
+            # sidecar scale_factor; hard-errors instead of random weights
+            from sd_tpu.utils.config import build_latent_diffusion_from_run
+
+            ldm, _ = build_latent_diffusion_from_run(
+                opt.ckpt, config_path=opt.config,
+                compute_dtype=inference_compute_dtype())
+        else:
+            cfg = load_yaml(opt.config
+                            or "configs/stable-diffusion/v1-inference.yaml")
+            state_dict = None
+            if opt.ckpt:
+                from sd_tpu.utils.port import load_torch_state_dict
+
+                state_dict = load_torch_state_dict(opt.ckpt)
+            ldm = build_latent_diffusion(cfg["model"], rng=rng,
+                                         state_dict=state_dict,
+                                         init_params=state_dict is None,
+                                         compute_dtype=inference_compute_dtype())
         base = Txt2ImgPipeline(ldm=ldm, tokenizer=HashTokenizer())
 
     pipe = Img2ImgPipeline(base)

@@ -18,8 +18,13 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("-r", "--resume", type=str, help="checkpoint or logdir")
+    p.add_argument("-r", "--resume", type=str,
+                   help="torch .ckpt file, or a framework run logdir / orbax "
+                        "checkpoint dir (main.py products)")
     p.add_argument("-c", "--config", type=str)
+    p.add_argument("--no_ema", action="store_true",
+                   help="run-dir loads: use current params instead of the "
+                        "EMA shadow")
     p.add_argument("-n", "--n_samples", type=int, default=8)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("-e", "--eta", type=float, default=1.0)
@@ -62,17 +67,34 @@ def main():
         ldm = build_latent_diffusion(tiny_cfg, rng=rng)
         latent_hw, latent_c = 16, 4
     else:
-        cfg = load_yaml(opt.config)
-        state_dict = None
-        if opt.resume and os.path.isfile(opt.resume):
-            from sd_tpu.utils.port import load_torch_state_dict
-
-            state_dict = load_torch_state_dict(opt.resume)
         from sd_tpu.pipelines.build import inference_compute_dtype
 
-        ldm = build_latent_diffusion(cfg["model"], rng=rng, state_dict=state_dict,
-                                     init_params=state_dict is None,
-                                     compute_dtype=inference_compute_dtype())
+        if opt.resume and not os.path.isfile(opt.resume):
+            # framework run logdir / orbax checkpoint dir: restores trainable
+            # params (EMA by default) + the sidecar scale_factor; hard-errors
+            # on anything unloadable (never samples random weights silently)
+            from sd_tpu.utils.checkpoint import run_config_path
+            from sd_tpu.utils.config import build_latent_diffusion_from_run
+
+            ldm, _ = build_latent_diffusion_from_run(
+                opt.resume, config_path=opt.config,
+                compute_dtype=inference_compute_dtype(),
+                use_ema=not opt.no_ema)
+            cfg = load_yaml(opt.config or run_config_path(opt.resume))
+        else:
+            cfg = load_yaml(opt.config)
+            state_dict = None
+            if opt.resume:
+                from sd_tpu.utils.port import load_torch_state_dict
+
+                state_dict = load_torch_state_dict(opt.resume)
+            else:
+                print("WARNING: no checkpoint (-r) given — sampling RANDOM "
+                      "weights (debug/smoke only)")
+            ldm = build_latent_diffusion(cfg["model"], rng=rng,
+                                         state_dict=state_dict,
+                                         init_params=state_dict is None,
+                                         compute_dtype=inference_compute_dtype())
         latent_hw = cfg["model"]["params"].get("image_size", 64)
         latent_c = cfg["model"]["params"].get("channels", 4)
 

@@ -62,8 +62,10 @@ def parse_args():
                    default=10.0,
                    help="ms to wait coalescing concurrent requests into one "
                         "padded-batch execution")
-    p.add_argument("--config", type=str,
-                   default="configs/stable-diffusion/v1-inference.yaml")
+    p.add_argument("--config", type=str, default=None,
+                   help="model config yaml (default: the run dir's dumped "
+                        "config for run-dir --ckpt, else "
+                        "configs/stable-diffusion/v1-inference.yaml)")
     p.add_argument("--ckpt", type=str)
     p.add_argument("--tiny", action="store_true",
                    help="bundled tiny random-weight model (testing)")

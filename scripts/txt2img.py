@@ -35,8 +35,10 @@ def parse_args():
     p.add_argument("--n_rows", type=int, default=0)
     p.add_argument("--scale", type=float, default=7.5)
     p.add_argument("--from-file", dest="from_file", type=str)
-    p.add_argument("--config", type=str,
-                   default="configs/stable-diffusion/v1-inference.yaml")
+    p.add_argument("--config", type=str, default=None,
+                   help="model config yaml (default: the run dir's dumped "
+                        "config for run-dir --ckpt, else "
+                        "configs/stable-diffusion/v1-inference.yaml)")
     p.add_argument("--ckpt", type=str)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tiny", action="store_true",

@@ -222,6 +222,69 @@ def _kernel_chunked(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
 
+def _kernel_chunked_int8(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                         kt: bool, chunk: int, pv_int8: bool):
+    """W8A8 online-softmax kernel (VERDICT r4 next-round #1b): QK^T runs
+    int8xint8->int32 on the MXU — the d=40->128 lane padding that caps the
+    bf16 kernel at its padded bound is priced at the 2x int8 rate instead.
+    Q is quantized per row once (in-register), K per key per chunk. The
+    SageAttention split: P@V stays bf16 by default (softmax probabilities
+    carry the signal; quantizing them costs real quality), ``pv_int8``
+    additionally quantizes P (per-row, known max 1) and V (per feature).
+    Full rows only (kv_len == Nk); dispatch guarantees it. Inference-only:
+    no vjp — the backward recomputes through the bf16 kernels.
+    """
+    q = q_ref[0, 0].astype(jnp.float32)  # [bq, d]
+    sq = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0,
+                     1e-12)
+    qq = jnp.clip(jnp.round(q / sq), -127.0, 127.0).astype(jnp.int8)
+    sq_post = sq * (scale * _LOG2E)       # fold the logit scale into dequant
+    nk = k_ref.shape[3] if kt else k_ref.shape[2]
+    bq, d = q.shape
+    m = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+    for c in range(nk // chunk):
+        if kt:
+            kc = k_ref[0, 0, :, pl.ds(c * chunk, chunk)].astype(jnp.float32)
+            skc = jnp.maximum(
+                jnp.max(jnp.abs(kc), axis=0, keepdims=True) / 127.0, 1e-12)
+            kqc = jnp.clip(jnp.round(kc / skc), -127.0, 127.0).astype(jnp.int8)
+            s_i32 = jax.lax.dot_general(
+                qq, kqc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        else:
+            kc = k_ref[0, 0, pl.ds(c * chunk, chunk), :].astype(jnp.float32)
+            skc = jnp.maximum(
+                jnp.max(jnp.abs(kc), axis=1, keepdims=True).T / 127.0, 1e-12)
+            kqc = jnp.clip(jnp.round(kc / skc.T), -127.0,
+                           127.0).astype(jnp.int8)
+            s_i32 = jax.lax.dot_general(
+                qq, kqc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        s = s_i32.astype(jnp.float32) * sq_post * skc     # [bq, ck]
+        vc = v_ref[0, 0, pl.ds(c * chunk, chunk), :]
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp2(s - m_new)
+        corr = jnp.exp2(m - m_new)
+        l = l * corr + jnp.sum(p, axis=1, keepdims=True)
+        if pv_int8:
+            # p in [0,1] after the exp2 (rowwise max is 0): scale 1/127 known
+            pq = jnp.round(p * 127.0).astype(jnp.int8)
+            vf = vc.astype(jnp.float32)
+            svc = jnp.maximum(
+                jnp.max(jnp.abs(vf), axis=0, keepdims=True) / 127.0, 1e-12)
+            vqc = jnp.clip(jnp.round(vf / svc), -127.0,
+                           127.0).astype(jnp.int8)
+            pv = jax.lax.dot(pq, vqc, preferred_element_type=jnp.int32)
+            acc = acc * corr + pv.astype(jnp.float32) * (svc / 127.0)
+        else:
+            acc = acc * corr + jax.lax.dot(
+                p.astype(vc.dtype), vc, preferred_element_type=jnp.float32)
+        m = m_new
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
 def _kernel_allheads(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                      kv_len: int, heads: int, exp_bf16: bool, kt: bool):
     for i in range(heads):
@@ -230,19 +293,40 @@ def _kernel_allheads(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         o_ref[0, i] = o.astype(o_ref.dtype)
 
 
+def _resolve_int8(int8_mode: Optional[str], dtype, kv_len: int, nk: int) -> str:
+    """Trace-time int8 mode: explicit override, else the SD_TPU_INT8
+    attn/attn_pv buckets. Only full-row (self-attention) sites with
+    Nk >= 1024 qualify — small/cross sites aren't MXU-bound."""
+    if int8_mode is None:
+        from sd_tpu.ops.quant import int8_bucket_enabled
+
+        if int8_bucket_enabled("attn_pv", dtype):
+            int8_mode = "qkpv"
+        elif int8_bucket_enabled("attn", dtype):
+            int8_mode = "qk"
+        else:
+            int8_mode = "off"
+    if int8_mode != "off" and (kv_len != nk or nk < 1024):
+        int8_mode = "off"
+    return int8_mode
+
+
 def _fwd_bhnd(qt, kt, vt, scale: float, kv_len: int,
               interpret: bool = False, block_q: Optional[int] = None,
               exp_bf16: Optional[bool] = None, kt_layout: bool = True,
-              kv_chunk: Optional[int] = None):
+              kv_chunk: Optional[int] = None,
+              int8_mode: Optional[str] = None):
     """Forward on [B, H, N, D]-layout operands (kt/vt already lane-padded).
 
     ``kt_layout=True`` feeds K pre-transposed as [B, H, D, Nk] so the QK^T
     contraction hits K's sublane axis directly (no in-VMEM transpose).
     ``exp_bf16=None`` resolves to False (measured slower — see
-    :func:`_softmax_rows`).
+    :func:`_softmax_rows`). ``int8_mode``: None = SD_TPU_INT8 env dispatch,
+    else "off"/"qk"/"qkpv" (see :func:`_kernel_chunked_int8`).
     """
     b, h, nq, d = qt.shape
     nk = kt.shape[2]
+    int8_mode = _resolve_int8(int8_mode, qt.dtype, kv_len, nk)
     if exp_bf16 is None:
         # measured SLOWER on v5e (9.59 vs 8.80 ms at N=4096 — bf16
         # transcendentals lower with pack/unpack overhead); keep fp32 exp2
@@ -296,10 +380,16 @@ def _fwd_bhnd(qt, kt, vt, scale: float, kv_len: int,
     # the block size (the monolithic kernel's measured optimum is bq=512)
     if kv_chunk and not (kv_len == nk and nk % kv_chunk == 0):
         kv_chunk = None
+    if int8_mode != "off" and not kv_chunk:
+        int8_mode = "off"  # the W8A8 kernel is chunked-only
     default_bq = nq if nq <= _BLOCK_Q_WHOLE_ROW_MAX else (
         1024 if kv_chunk else _BLOCK_Q)
     bq = _block_q(nq, block_q or default_bq)
-    if kv_chunk:
+    if int8_mode != "off":
+        kernel = functools.partial(
+            _kernel_chunked_int8, scale=float(scale), kt=kt_layout,
+            chunk=kv_chunk, pv_int8=int8_mode == "qkpv")
+    elif kv_chunk:
         kernel = functools.partial(_kernel_chunked, scale=float(scale),
                                    kv_len=kv_len, kt=kt_layout, chunk=kv_chunk)
     else:
@@ -468,10 +558,20 @@ def _bwd_bhnd_xla(qt, kt, vt, ot, dot_, scale: float, kv_len: int):
 # inside the custom_vjp below — grads partition the same way.
 
 
+# jax.core.Tracer has survived the jax.core deprecation sweeps (still public
+# in 0.9, no jax.extend equivalent exists); pin a fallback to the private
+# path so a future removal degrades to an import of jax._src.core, not a
+# crash in every multi-device trace (VERDICT r4 item 8).
+try:
+    _Tracer = jax.core.Tracer
+except AttributeError:  # pragma: no cover - future-jax safety net
+    from jax._src.core import Tracer as _Tracer
+
+
 def _spmd_partition_wanted(x) -> bool:
     if os.environ.get("SD_TPU_FLASH_SPMD", "1").lower() in ("0", "off", "false"):
         return False
-    return isinstance(x, jax.core.Tracer) and jax.device_count() > 1
+    return isinstance(x, _Tracer) and jax.device_count() > 1
 
 
 def _bh_spec(sharding) -> PartitionSpec:
@@ -484,11 +584,12 @@ def _bh_spec(sharding) -> PartitionSpec:
 @functools.lru_cache(maxsize=None)
 def _fwd_spmd(scale: float, kv_len: int, interpret: bool,
               block_q: Optional[int], exp_bf16: Optional[bool],
-              kt_layout: bool, kv_chunk: Optional[int]):
+              kt_layout: bool, kv_chunk: Optional[int],
+              int8_mode: Optional[str]):
     @custom_partitioning
     def fwd(qt, kt, vt):
         return _fwd_bhnd(qt, kt, vt, scale, kv_len, interpret, block_q,
-                         exp_bf16, kt_layout, kv_chunk)
+                         exp_bf16, kt_layout, kv_chunk, int8_mode)
 
     def infer(mesh, arg_shapes, result_shape):
         return NamedSharding(mesh, _bh_spec(arg_shapes[0].sharding))
@@ -498,7 +599,7 @@ def _fwd_spmd(scale: float, kv_len: int, interpret: bool,
 
         def lower(qt, kt, vt):
             return _fwd_bhnd(qt, kt, vt, scale, kv_len, interpret, block_q,
-                             exp_bf16, kt_layout, kv_chunk)
+                             exp_bf16, kt_layout, kv_chunk, int8_mode)
 
         return mesh, lower, sh, (sh, sh, sh)
 
@@ -544,35 +645,42 @@ def _bwd_spmd(scale: float, kv_len: int, interpret: bool):
 
 def _dispatch_fwd(qt, kt, vt, scale: float, kv_len: int, interpret: bool,
                   block_q: Optional[int], exp_bf16: Optional[bool],
-                  kt_layout: bool, kv_chunk: Optional[int]):
+                  kt_layout: bool, kv_chunk: Optional[int],
+                  int8_mode: Optional[str] = None):
     if _spmd_partition_wanted(qt):
+        # resolve the env-dispatched int8 mode BEFORE the lru_cache so the
+        # partitioned callable is keyed by what will actually run
+        int8_mode = _resolve_int8(int8_mode, qt.dtype, kv_len, kt.shape[2])
         return _fwd_spmd(float(scale), kv_len, interpret, block_q, exp_bf16,
-                         kt_layout, kv_chunk)(qt, kt, vt)
+                         kt_layout, kv_chunk, int8_mode)(qt, kt, vt)
     return _fwd_bhnd(qt, kt, vt, scale, kv_len, interpret, block_q,
-                     exp_bf16, kt_layout, kv_chunk)
+                     exp_bf16, kt_layout, kv_chunk, int8_mode)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def _flash_bhnd(qt, kt, vt, scale: float, kv_len: int,
                 interpret: bool = False, block_q: Optional[int] = None,
                 exp_bf16: Optional[bool] = None, kt_layout: bool = True,
-                kv_chunk: Optional[int] = None):
+                kv_chunk: Optional[int] = None,
+                int8_mode: Optional[str] = None):
     return _dispatch_fwd(qt, kt, vt, scale, kv_len, interpret, block_q,
-                         exp_bf16, kt_layout, kv_chunk)
+                         exp_bf16, kt_layout, kv_chunk, int8_mode)
 
 
 def _flash_bhnd_fwd(qt, kt, vt, scale: float, kv_len: int,
                     interpret: bool = False, block_q: Optional[int] = None,
                     exp_bf16: Optional[bool] = None, kt_layout: bool = True,
-                    kv_chunk: Optional[int] = None):
+                    kv_chunk: Optional[int] = None,
+                    int8_mode: Optional[str] = None):
     ot = _dispatch_fwd(qt, kt, vt, scale, kv_len, interpret, block_q,
-                       exp_bf16, kt_layout, kv_chunk)
+                       exp_bf16, kt_layout, kv_chunk, int8_mode)
     return ot, (qt, kt, vt, ot)
 
 
 def _flash_bhnd_bwd(scale: float, kv_len: int, interpret: bool,
                     block_q: Optional[int], exp_bf16: Optional[bool],
-                    kt_layout: bool, kv_chunk: Optional[int], res, g):
+                    kt_layout: bool, kv_chunk: Optional[int],
+                    int8_mode: Optional[str], res, g):
     qt, kt, vt, ot = res
     nq, nk = qt.shape[2], kt.shape[2]
     if nk <= _SMALL_KV or nq % _BLOCK_Q_BWD != 0:
@@ -595,13 +703,15 @@ def flash_attention(
     q, k, v, scale: Optional[float] = None, mask=None, *,
     interpret: bool = False, block_q: Optional[int] = None,
     exp_bf16: Optional[bool] = None, kt_layout: bool = True,
-    kv_chunk: Optional[int] = None,
+    kv_chunk: Optional[int] = None, int8: Optional[str] = None,
 ):
     """Fused attention on ``[B, N, H, D]`` tensors (differentiable).
 
     ``k``/``v`` with a token count that is not a lane multiple (e.g. the
     77-token CLIP context) are zero-padded here and masked inside the kernel.
     ``interpret=True`` runs the kernels in the Pallas interpreter (CPU tests).
+    ``int8``: "qk"/"qkpv" force the W8A8 kernel, "off" forces bf16, None
+    dispatches on the SD_TPU_INT8 attn/attn_pv buckets (inference-only).
     """
     assert mask is None, "use the XLA path for masked attention"
     b, nq, h, d = q.shape
@@ -621,5 +731,5 @@ def flash_attention(
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
     out = _flash_bhnd(qt, kt, vt, float(scale), nk, interpret, block_q,
-                      exp_bf16, kt_layout, kv_chunk)
+                      exp_bf16, kt_layout, kv_chunk, int8)
     return jnp.transpose(out, (0, 2, 1, 3))

@@ -108,6 +108,45 @@ def _gelu_fast_f32(g):
     return 0.5 * g * (1.0 + _erf_fast_f32(g * _SQRT_HALF))
 
 
+def _kernel_int8(x_ref, w1aq_ref, w1gq_ref, sw1a_ref, sw1g_ref, b1a_ref,
+                 b1g_ref, w2q_ref, sw2_ref, b2_ref, o_ref):
+    """W8A8 variant (VERDICT r4 next-round #1a): activations quantized
+    in-register per row (amortizing exactly the XLA-level dynamic-quant
+    overhead that made dense int8 LOSE at these sites, ops/quant.py r4
+    stage-A), weights pre-quantized outside per column. Both GEGLU dots and
+    the output projection run int8xint8->int32 on the MXU (2x the bf16
+    rate on v5e); dequant + bias + gelu stay fp32 in VMEM.
+    """
+    x = x_ref[...].astype(jnp.float32)                   # [bm, C]
+    sx = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0,
+                     1e-12)
+    xq = jnp.clip(jnp.round(x / sx), -127.0, 127.0).astype(jnp.int8)
+    a = jax.lax.dot(xq, w1aq_ref[...],
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+    a = a * (sx * sw1a_ref[...]) + b1a_ref[...]
+    g = jax.lax.dot(xq, w1gq_ref[...],
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+    g = g * (sx * sw1g_ref[...]) + b1g_ref[...]
+    h = a * _gelu_fast_f32(g)                            # [bm, I] fp32
+    sh = jnp.maximum(jnp.max(jnp.abs(h), axis=1, keepdims=True) / 127.0,
+                     1e-12)
+    hq = jnp.clip(jnp.round(h / sh), -127.0, 127.0).astype(jnp.int8)
+    o = jax.lax.dot(hq, w2q_ref[...],
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+    o_ref[...] = (o * (sh * sw2_ref[...]) + b2_ref[...]).astype(o_ref.dtype)
+
+
+def _quantize_cols(w):
+    """Per-output-channel symmetric weight quantization (fp32 math, done in
+    XLA outside the kernel — loop-invariant, so LICM hoists it out of the
+    sampler scan; weights stay jit ARGUMENTS per the zero-param-CSE rule)."""
+    wf = w.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0,
+                    1e-12)
+    q = jnp.clip(jnp.round(wf / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
 def _kernel(x_ref, w1a_ref, w1g_ref, b1a_ref, b1g_ref, w2_ref, b2_ref,
             o_ref):
     # value/gate projections as two separate dots (the [bm, 2I] fused
@@ -171,7 +210,16 @@ def _block_m(m: int, inner: int, block_m: Optional[int]) -> int:
 
 
 def ff_supported(x, inner: int) -> bool:
-    """True where the fused kernel is usable and measured faster than XLA."""
+    """True where the fused kernel is usable and measured faster than XLA.
+
+    ``SD_TPU_FUSED_FF=0`` disables (the kernel has no SPMD partition rule,
+    so tensor-parallel layouts must take the XLA path — ``parallel/tp.py``
+    sets this automatically when TP specs are built).
+    """
+    import os
+
+    if os.environ.get("SD_TPU_FUSED_FF", "1").lower() in ("0", "off", "false"):
+        return False
     if jax.devices()[0].platform != "tpu":
         return False
     if x.dtype != jnp.bfloat16:
@@ -254,8 +302,53 @@ def _geglu_ff_bwd(interpret, block_m, res, g):
 _geglu_ff.defvjp(_geglu_ff_fwd, _geglu_ff_bwd)
 
 
+def _geglu_ff_int8(x2d, w1a, w1g, b1a, b1g, w2, b2,
+                   interpret: bool, block_m: Optional[int]):
+    """Inference-only W8A8 path (no vjp: round() is zero-gradient a.e.;
+    training is guarded off in LDMTrainer.train_step)."""
+    m, c = x2d.shape
+    inner = w2.shape[0]
+    c_out = w2.shape[1]
+    bm = _block_m(m, inner, block_m)
+    w1aq, sw1a = _quantize_cols(w1a)
+    w1gq, sw1g = _quantize_cols(w1g)
+    w2q, sw2 = _quantize_cols(w2)
+    const = lambda i: (0, 0)
+    return pl.pallas_call(
+        _kernel_int8,
+        out_shape=jax.ShapeDtypeStruct((m, c_out), x2d.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(m // bm,),
+            in_specs=[
+                pl.BlockSpec((bm, c), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, inner), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, inner), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, inner), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, inner), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, inner), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, inner), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((inner, c_out), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c_out), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c_out), const, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, c_out), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * c * inner + 2 * m * inner * c_out,
+            bytes_accessed=(x2d.size + m * c_out) * x2d.dtype.itemsize
+            + w1aq.size + w1gq.size + w2q.size,
+            transcendentals=m * inner,
+        ),
+        interpret=interpret,
+    )(x2d, w1aq, w1gq, sw1a, sw1g, b1a, b1g, w2q, sw2, b2)
+
+
 def geglu_ff(x, w1, b1, w2, b2, *, interpret: bool = False,
-             block_m: Optional[int] = None):
+             block_m: Optional[int] = None, int8: Optional[bool] = None):
     """Fused GEGLU feed-forward: ``(x@w1+b1) -> a * gelu(g) -> @w2+b2``.
 
     Args:
@@ -264,7 +357,14 @@ def geglu_ff(x, w1, b1, w2, b2, *, interpret: bool = False,
         the reference's ``chunk(2, dim=-1)`` order, ``attention.py:42-44``).
       b1: ``[2*inner]`` bias.
       w2: ``[inner, C_out]`` output projection. b2: ``[C_out]`` bias.
+      int8: W8A8 path (``_kernel_int8``). None = dispatch on the
+        ``SD_TPU_INT8`` 'ff' bucket (inference serving mode, quality-gated
+        by tools/int8_quality.py).
     """
+    if int8 is None:
+        from sd_tpu.ops.quant import int8_bucket_enabled
+
+        int8 = int8_bucket_enabled("ff", x.dtype)
     orig_shape = x.shape
     c = orig_shape[-1]
     inner = w2.shape[0]
@@ -276,5 +376,9 @@ def geglu_ff(x, w1, b1, w2, b2, *, interpret: bool = False,
     b1a, b1g = b1[:inner].reshape(1, -1), b1[inner:].reshape(1, -1)
     b2 = b2.astype(jnp.float32).reshape(1, -1)
     w2 = w2.astype(x.dtype)
-    out = _geglu_ff(x2d, w1a, w1g, b1a, b1g, w2, b2, interpret, block_m)
+    if int8:
+        out = _geglu_ff_int8(x2d, w1a, w1g, b1a, b1g, w2, b2, interpret,
+                             block_m)
+    else:
+        out = _geglu_ff(x2d, w1a, w1g, b1a, b1g, w2, b2, interpret, block_m)
     return out.reshape(*orig_shape[:-1], w2.shape[1])

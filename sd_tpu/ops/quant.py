@@ -40,11 +40,17 @@ explicitly opt-in serving mode, with the measured in-context speedup
 recorded in PARITY.md. Inference-only: ``round`` has zero gradient a.e.;
 do not enable while training.
 
-``SD_TPU_INT8`` values:
-    0/off (default)  bf16 convs everywhere
-    1/all            every Conv3x3 site
-    <N>              only sites with H*W >= N (e.g. 4096 = the 64x64 L0
-                     sites where the measured win is largest)
+``SD_TPU_INT8`` values (round 5 extends the conv-only r4 grammar to the
+three MXU-bound buckets — VERDICT r4 next-round #1):
+    0/off (default)   bf16 everywhere
+    1/all             the full int8 serving mode: convs + fused GEGLU-FF +
+                      flash QK^T (every bucket that passed its quality gate)
+    conv[,ff][,attn][,attn_pv]
+                      explicit bucket list; ``attn`` = int8 QK^T inside the
+                      flash kernel (P@V stays bf16 — the SageAttention
+                      split); ``attn_pv`` additionally quantizes P@V
+    <N>               conv bucket only, at sites with H*W >= N (e.g. 4096 =
+                      the 64x64 L0 sites)
 """
 
 from __future__ import annotations
@@ -54,25 +60,86 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["int8_enabled", "int8_conv3x3"]
+__all__ = ["int8_enabled", "int8_conv3x3", "int8_buckets",
+           "int8_bucket_enabled", "int8_mode_label", "quantize_rows"]
+
+_BUCKETS = ("conv", "ff", "attn", "attn_pv")
+# "all" = the shipped serving mode: every bucket whose quality gate passed
+# (tools/int8_quality.py). attn_pv stays explicit-only until gated.
+_ALL = frozenset(("conv", "ff", "attn"))
+
+
+def _conv_threshold():
+    env = os.environ.get("SD_TPU_INT8", "0").lower()
+    try:
+        return int(env) if int(env) > 1 else None
+    except ValueError:
+        return None
+
+
+def int8_buckets() -> frozenset:
+    """The trace-time int8 bucket set from ``SD_TPU_INT8``."""
+    env = os.environ.get("SD_TPU_INT8", "0").lower()
+    if env in ("0", "off", ""):
+        return frozenset()
+    if env in ("1", "all"):
+        return _ALL
+    try:
+        int(env)
+        return frozenset(("conv",))  # numeric = conv threshold grammar
+    except ValueError:
+        pass
+    toks = frozenset(t.strip() for t in env.split(",") if t.strip())
+    unknown = toks - frozenset(_BUCKETS)
+    if unknown:
+        raise ValueError(f"SD_TPU_INT8: unknown buckets {sorted(unknown)} "
+                         f"(valid: {_BUCKETS}, 'all', a threshold int, or 0)")
+    return toks
+
+
+def int8_bucket_enabled(bucket: str, dtype) -> bool:
+    """Trace-time dispatch gate shared by every int8 bucket: opted-in, bf16
+    compute, TPU backend (the int8 MXU rate is the entire point)."""
+    if bucket not in int8_buckets():
+        return False
+    if dtype != jnp.bfloat16:
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def int8_mode_label() -> str:
+    """The honest metric label for benches: derived from the SAME predicate
+    the dispatch uses (ADVICE r4 #3 — a raw env parse can claim int8 ran
+    when the backend/dtype gate kept it off)."""
+    active = sorted(b for b in _BUCKETS
+                    if int8_bucket_enabled(b, jnp.bfloat16))
+    if not active:
+        return "bf16"
+    thr = _conv_threshold()
+    if thr and "conv" in active:
+        active[active.index("conv")] = f"conv>={thr}"
+    return "bf16+int8[" + ",".join(active) + "]"
 
 
 def int8_enabled(x_shape, dtype) -> bool:
     """Trace-time dispatch gate for the W8A8 conv path."""
-    env = os.environ.get("SD_TPU_INT8", "0").lower()
-    if env in ("0", "off", ""):
+    if not int8_bucket_enabled("conv", dtype):
         return False
-    if dtype != jnp.bfloat16:
-        return False
-    if jax.default_backend() != "tpu":
-        return False
-    if env in ("1", "all"):
-        return True
-    try:
-        min_hw = int(env)
-    except ValueError:
-        return False
-    return x_shape[1] * x_shape[2] >= min_hw
+    thr = _conv_threshold()
+    return thr is None or x_shape[1] * x_shape[2] >= thr
+
+
+def quantize_rows(x, axis: int = -1):
+    """Symmetric per-row int8 quantization along ``axis`` (fp32 math).
+
+    Returns ``(q_int8, scale)`` with ``scale`` shaped like ``x`` with
+    ``axis`` reduced to 1, such that ``q * scale ~= x``.
+    """
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=axis, keepdims=True) / 127.0,
+                    1e-12)
+    q = jnp.clip(jnp.round(xf / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
 
 
 def int8_conv3x3(x, kernel, bias, out_dtype):

@@ -48,7 +48,7 @@ unet_tp_specs(mesh, params))`` for latency-oriented multi-chip serving, or
 from __future__ import annotations
 
 import re
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import numpy as np
@@ -58,7 +58,11 @@ __all__ = ["unet_tp_specs", "spatial_sharding"]
 
 
 # (path regex, sharded dim index) — dim counts from the left of the kernel
-# shape; matched top-to-bottom, first hit wins.
+# shape; matched top-to-bottom, first hit wins. ResBlock rules are anchored
+# on a parent path segment so the UNet's TOP-LEVEL final conv (path
+# "out_conv/kernel", the zero-init output projection) stays replicated — it
+# would otherwise match and buy a gratuitous all-reduce on the full-res
+# output tensor (caught by test_tp_allreduce_count, r5).
 _RULES = (
     # attention projections
     (re.compile(r"attn\d/to_[qkv]/kernel$"), 1),    # column: heads
@@ -68,31 +72,68 @@ _RULES = (
     (re.compile(r"ff/proj_in/proj/bias$"), 0),
     (re.compile(r"ff/proj_out/kernel$"), 0),        # row: all-reduce
     # ResBlock megatron pair (kernels are HWIO)
-    (re.compile(r"in_conv/kernel$"), 3),            # column: out channels
-    (re.compile(r"in_conv/bias$"), 0),
-    (re.compile(r"emb_proj/kernel$"), 1),           # column (aligned add)
-    (re.compile(r"emb_proj/bias$"), 0),
-    (re.compile(r"out_norm/GroupNorm_0/(scale|bias)$"), 0),
-    (re.compile(r"out_conv/kernel$"), 2),           # row: in channels
+    (re.compile(r"/in_conv/kernel$"), 3),           # column: out channels
+    (re.compile(r"/in_conv/bias$"), 0),
+    (re.compile(r"/emb_proj/kernel$"), 1),          # column (aligned add)
+    (re.compile(r"/emb_proj/bias$"), 0),
+    (re.compile(r"/out_norm/GroupNorm_0/(scale|bias)$"), 0),
+    (re.compile(r"/out_conv/kernel$"), 2),          # row: in channels
 )
 
+_ATTN_RULES = ("to_q/", "to_k/", "to_v/", "to_out/")
 
-def _leaf_spec(path: str, shape, n: int, axis: str):
+
+# the ResBlock megatron pair keeps GroupNorm(32) stats shard-local only when
+# shard boundaries align with group boundaries (32 % n == 0) — otherwise
+# GSPMD inserts cross-shard stat reductions per ResBlock, defeating the
+# one-all-reduce layout; gate the whole pair off in that case (ADVICE r4 #5)
+_RESBLOCK_RULES = ("in_conv/", "emb_proj/", "out_norm/", "out_conv/")
+
+
+def _leaf_spec(path: str, shape, n: int, axis: str, resblock_ok: bool = True,
+               attn_ok: bool = True):
     for rule, dim in _RULES:
         if rule.search(path):
+            if not resblock_ok and any(t in path for t in _RESBLOCK_RULES):
+                return P()
+            if not attn_ok and any(t in path for t in _ATTN_RULES):
+                return P()
             if dim < len(shape) and shape[dim] % n == 0 and shape[dim] >= n:
                 return P(*[axis if i == dim else None for i in range(len(shape))])
             return P()
     return P()
 
 
-def unet_tp_specs(mesh: Mesh, params: Any, axis: str = "model"):
+def unet_tp_specs(mesh: Mesh, params: Any, axis: str = "model",
+                  num_heads: Optional[int] = None):
     """NamedSharding pytree for a UNet param tree: megatron TP over ``axis``.
 
     Leaves that do not match a rule, or whose sharded dim does not divide by
     the axis size, stay replicated — the result is always a valid placement.
+    The ResBlock conv pair additionally requires ``32 % axis_size == 0`` so
+    GroupNorm(32) stats stay shard-local (module docstring).
+
+    ``num_heads`` gates the attention projections: sharding their inner
+    ``heads*head_dim`` dim keeps whole heads per shard (local attention, one
+    all-reduce at to_out) only when ``num_heads % axis_size == 0`` —
+    otherwise heads SPLIT across shards and GSPMD must all-reduce every
+    [B,H,N,N] score matrix instead (measured in test_tp_allreduce_count:
+    +14 score all-reduces on a 7-block UNet with heads=4 on an 8-axis).
+    Pass the model's head count (SD v1: 8); None keeps the projections
+    replicated — safe, never score-reducing.
+
+    Side effect: disables the fused GEGLU-FF Pallas kernel
+    (``SD_TPU_FUSED_FF=0`` unless the operator already set it) — the kernel
+    has no SPMD partition rule, and under TP the XLA einsum path partitions
+    natively. The flash-attention kernel keeps running: its
+    ``custom_partitioning`` rule shards the head axis.
     """
+    import os
+
+    os.environ.setdefault("SD_TPU_FUSED_FF", "0")
     n = mesh.shape[axis]
+    resblock_ok = 32 % n == 0
+    attn_ok = num_heads is not None and num_heads % n == 0
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     paths = ["/".join(str(k.key) for k in p) for p, _ in flat]
     shapes = {pa: np.shape(l) for pa, (_, l) in zip(paths, flat)}
@@ -113,7 +154,8 @@ def unet_tp_specs(mesh: Mesh, params: Any, axis: str = "model"):
         if "emb_proj/" in pa and pa not in emb_ok:
             specs.append(P())
         else:
-            specs.append(_leaf_spec(pa, np.shape(leaf), n, axis))
+            specs.append(_leaf_spec(pa, np.shape(leaf), n, axis,
+                                    resblock_ok, attn_ok))
     return jax.tree_util.tree_unflatten(
         treedef, [NamedSharding(mesh, s) for s in specs]
     )

@@ -44,9 +44,13 @@ def build_txt2img_pipeline(
     latent_channels: int = 4,
     downsample: int = 8,
     seed: int = 0,
+    use_ema: bool = True,
 ):
     """Build a ready Txt2ImgPipeline. Returns (pipe, clamped_tiny_hw).
 
+    ``ckpt`` may be a torch ``.ckpt`` file (weight port) or a framework run
+    logdir / orbax checkpoint dir (``main.py`` products — restores the
+    trainable params, EMA by default, + the sidecar scale_factor).
     ``min_hw`` is min(H, W) of the serving/sampling resolution — used only
     to gate the watermark's DWT capacity floor. ``clamped_tiny_hw`` is 64
     when ``tiny`` (callers clamp their H/W), else None.
@@ -72,22 +76,44 @@ def build_txt2img_pipeline(
             downsample=2)
         tiny_hw = 64
     else:
-        cfg = load_yaml(config)
-        state_dict = None
-        if ckpt:
-            from sd_tpu.utils.port import load_torch_state_dict
+        from sd_tpu.utils.checkpoint import is_run_path
 
-            print(f"Loading state dict from {ckpt}", file=sys.stderr)
-            state_dict = load_torch_state_dict(ckpt)
-        ldm = build_latent_diffusion(cfg["model"], rng=rng,
-                                     state_dict=state_dict,
-                                     init_params=state_dict is None,
-                                     compute_dtype=inference_compute_dtype())
+        state_dict = None
+        from_run = bool(ckpt) and is_run_path(ckpt)
+        if from_run:
+            # framework run dir: trainable params (EMA by default) + sidecar
+            # scale_factor; frozen stages rebuilt from the run config + seed
+            from sd_tpu.utils.checkpoint import run_config_path
+            from sd_tpu.utils.config import build_latent_diffusion_from_run
+
+            ldm, _ = build_latent_diffusion_from_run(
+                ckpt, config_path=config,
+                compute_dtype=inference_compute_dtype(), use_ema=use_ema)
+            cfg = load_yaml(config or run_config_path(ckpt))
+        else:
+            cfg = load_yaml(
+                config or "configs/stable-diffusion/v1-inference.yaml")
+            if ckpt:
+                from sd_tpu.utils.port import load_torch_state_dict
+
+                print(f"Loading state dict from {ckpt}", file=sys.stderr)
+                state_dict = load_torch_state_dict(ckpt)
+            ldm = build_latent_diffusion(cfg["model"], rng=rng,
+                                         state_dict=state_dict,
+                                         init_params=state_dict is None,
+                                         compute_dtype=inference_compute_dtype())
         bpe = os.environ.get("SD_TPU_BPE_VOCAB")
         if bpe:
             from sd_tpu.data.tokenizer import CLIPTokenizer
 
             tokenizer = CLIPTokenizer.from_openai_gz(bpe)
+        elif from_run:
+            # framework-trained runs in this environment train against the
+            # HashTokenizer stream — the matching tokenizer IS the hash one
+            print("run-dir checkpoint without SD_TPU_BPE_VOCAB: using the "
+                  "HashTokenizer (valid iff the run trained with it)",
+                  file=sys.stderr)
+            tokenizer = HashTokenizer()
         elif state_dict is not None:
             # A real checkpoint with the debug HashTokenizer would silently
             # produce garbage conditioning — refuse instead.

@@ -198,6 +198,17 @@ class LDMTrainer:
     def train_step(self, state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
         """One optimizer step; with accumulation the batch's leading axis is
         split into ``accumulate_grad_batches`` microbatches scanned on-device."""
+        # trace-time guard (ADVICE r4 #2): the W8A8 paths quantize with
+        # jnp.round (zero gradient a.e.) and carry no STE — training with
+        # SD_TPU_INT8 set would silently plateau instead of erroring
+        from sd_tpu.ops.quant import int8_buckets
+
+        if int8_buckets():
+            raise RuntimeError(
+                "SD_TPU_INT8 is set but int8 is an inference-only serving "
+                "mode: round() has zero gradient a.e., so training would "
+                "silently learn nothing through quantized sites. Unset "
+                "SD_TPU_INT8 to train.")
         accum = self.accumulate_grad_batches
 
         def grads_of(mb, key):

@@ -195,6 +195,12 @@ class Trainer:
         os.makedirs(self.logdir, exist_ok=True)
         self.ckpt = CheckpointManager(
             os.path.join(self.logdir, "checkpoints"), monitor=self.monitor)
+        # self-describing run products: inference-from-run-dir rebuilds the
+        # FROZEN stages from the run config + this seed (they are not part of
+        # the trainable checkpoint), so the seed must travel in the sidecar
+        self.ckpt.extra_meta["seed"] = int(self.seed)
+        self.ckpt.extra_meta["use_ema"] = bool(
+            getattr(self.trainer_obj, "use_ema", False))
         self._melk_requested = False
         try:
             signal.signal(signal.SIGUSR1, self._melk)

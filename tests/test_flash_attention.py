@@ -103,3 +103,45 @@ def test_flash_chunked_online_softmax_matches_xla():
     out = flash_attention(q, k, v, interpret=True, block_q=128, kv_chunk=128)
     ref = _xla_attention(q, k, v, 64**-0.5, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_int8_qk_matches_xla_within_quant_noise():
+    """W8A8 QK^T kernel (r5, VERDICT next-round #1b): int8 per-row Q /
+    per-key K quantization of the logits — sample-level agreement with the
+    bf16 path is gated on TPU by tools/int8_quality.py; here we pin the
+    math in interpret mode."""
+    b, n, h, d = 1, 1024, 2, 40
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    want = _xla_attention(q, k, v, d**-0.5, None)
+    got = flash_attention(q, k, v, interpret=True, int8="qk")
+    rel = (np.linalg.norm(np.asarray(got) - np.asarray(want))
+           / np.linalg.norm(np.asarray(want)))
+    assert rel < 0.02, rel
+    # the pv variant trades more noise for the second int8 matmul
+    got_pv = flash_attention(q, k, v, interpret=True, int8="qkpv")
+    rel_pv = (np.linalg.norm(np.asarray(got_pv) - np.asarray(want))
+              / np.linalg.norm(np.asarray(want)))
+    assert rel_pv < 0.04, rel_pv
+
+
+def test_flash_int8_gating_rules():
+    """int8 only engages on full-row self-attention with Nk >= 1024 — cross
+    (masked-pad) and small-N sites stay bf16-exact."""
+    from sd_tpu.ops.pallas.flash_attention import _resolve_int8
+
+    assert _resolve_int8("qk", jnp.bfloat16, 1024, 1024) == "qk"
+    assert _resolve_int8("qk", jnp.bfloat16, 77, 128) == "off"    # cross pad
+    assert _resolve_int8("qk", jnp.bfloat16, 256, 256) == "off"   # small N
+    assert _resolve_int8("off", jnp.bfloat16, 4096, 4096) == "off"
+    # small-N sites keep bit-identical outputs whatever the int8 ask
+    b, n, h, d = 1, 256, 2, 64
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    a = flash_attention(q, k, v, interpret=True, block_q=128)
+    bq = flash_attention(q, k, v, interpret=True, block_q=128, int8="qk")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(bq))

@@ -118,3 +118,44 @@ def test_ff_supported_gates():
     assert not ff_supported(x_f32, 1280)               # dtype gate
     # (platform gate makes everything False on CPU — asserted implicitly by
     # the drop-in test exercising the unfused path)
+
+
+def test_int8_kernel_matches_reference_within_quant_noise():
+    """W8A8 kernel (r5): per-row activation + per-column weight symmetric
+    int8 — relative error must stay in quantization-noise territory."""
+    c, inner = 320, 1280
+    x = (jax.random.normal(jax.random.PRNGKey(0), (512, c)) * 0.5
+         ).astype(jnp.bfloat16)
+    w1, b1, w2, b2 = _rand_params(jax.random.PRNGKey(1), c, inner, c,
+                                  jnp.bfloat16)
+    want = _ff_reference(x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
+    got = geglu_ff(x, w1, b1, w2, b2, interpret=True, block_m=128, int8=True)
+    assert got.shape == want.shape and got.dtype == want.dtype
+    rel = (np.linalg.norm(np.asarray(got, np.float32)
+                          - np.asarray(want, np.float32))
+           / np.linalg.norm(np.asarray(want, np.float32)))
+    assert rel < 0.03, rel
+
+
+def test_int8_ff_env_dispatch(monkeypatch):
+    """SD_TPU_INT8=ff routes geglu_ff to the W8A8 kernel (backend-gated)."""
+    import sd_tpu.ops.quant as quant
+
+    calls = {}
+    import sd_tpu.ops.pallas.geglu_ff as mod
+    orig = mod._geglu_ff_int8
+
+    def spy(*a, **k):
+        calls["int8"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(mod, "_geglu_ff_int8", spy)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("SD_TPU_INT8", "ff")
+    c, inner = 64, 128
+    x = (jax.random.normal(jax.random.PRNGKey(0), (256, c)) * 0.5
+         ).astype(jnp.bfloat16)
+    w1, b1, w2, b2 = _rand_params(jax.random.PRNGKey(1), c, inner, c,
+                                  jnp.bfloat16)
+    geglu_ff(x, w1, b1, w2, b2, interpret=True, block_m=128)
+    assert calls.get("int8")

@@ -53,12 +53,60 @@ def test_int8_enabled_gate(monkeypatch):
     monkeypatch.setenv("SD_TPU_INT8", "4096")
     assert int8_enabled((2, 64, 64, 320), jnp.bfloat16)
     assert not int8_enabled((2, 32, 32, 640), jnp.bfloat16)
+    # r5: unknown tokens now FAIL LOUDLY instead of silently running bf16
+    # (the label/measurement mismatch class from ADVICE r4 #3)
     monkeypatch.setenv("SD_TPU_INT8", "garbage")
-    assert not int8_enabled(shape, jnp.bfloat16)
+    with pytest.raises(ValueError):
+        int8_enabled(shape, jnp.bfloat16)
     # CPU backend never dispatches
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     monkeypatch.setenv("SD_TPU_INT8", "1")
     assert not int8_enabled(shape, jnp.bfloat16)
+
+
+def test_int8_bucket_grammar(monkeypatch):
+    from sd_tpu.ops.quant import (int8_bucket_enabled, int8_buckets,
+                                  int8_mode_label)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("SD_TPU_INT8", "all")
+    assert int8_buckets() == frozenset(("conv", "ff", "attn"))
+    assert "attn_pv" not in int8_buckets()  # explicit-only until gated
+    monkeypatch.setenv("SD_TPU_INT8", "ff,attn")
+    assert int8_bucket_enabled("ff", jnp.bfloat16)
+    assert int8_bucket_enabled("attn", jnp.bfloat16)
+    assert not int8_bucket_enabled("conv", jnp.bfloat16)
+    assert not int8_bucket_enabled("ff", jnp.float32)  # bf16-only
+    assert int8_mode_label() == "bf16+int8[attn,ff]"
+    monkeypatch.setenv("SD_TPU_INT8", "4096")
+    assert int8_buckets() == frozenset(("conv",))
+    assert int8_mode_label() == "bf16+int8[conv>=4096]"
+    monkeypatch.setenv("SD_TPU_INT8", "0")
+    assert int8_mode_label() == "bf16"
+    # the label derives from the SAME predicate as dispatch: with the env
+    # set but the backend not TPU, the label must say bf16 (ADVICE r4 #3)
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    monkeypatch.setenv("SD_TPU_INT8", "all")
+    assert int8_mode_label() == "bf16"
+
+
+def test_int8_training_guard(monkeypatch):
+    """ADVICE r4 #2: training with SD_TPU_INT8 set must ERROR, not silently
+    zero the gradients through round()."""
+    import optax
+
+    from sd_tpu.training.diffusion_loss import LDMTrainer
+    from sd_tpu.utils.config import build_latent_diffusion
+    from sd_tpu.utils.testing import tiny_uncond_model_config
+
+    ldm = build_latent_diffusion(tiny_uncond_model_config(),
+                                 rng=jax.random.PRNGKey(0))
+    tr = LDMTrainer(ldm=ldm, optimizer=optax.adamw(1e-3), use_ema=False)
+    state = tr.init_state()
+    batch = {"image": jnp.zeros((2, 32, 32, 3))}
+    monkeypatch.setenv("SD_TPU_INT8", "all")
+    with pytest.raises(RuntimeError, match="inference-only"):
+        tr.train_step(state, batch, jax.random.PRNGKey(1))
 
 
 def test_conv3x3_int8_dispatch_param_tree_unchanged(monkeypatch):
