@@ -293,20 +293,30 @@ def _kernel_allheads(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         o_ref[0, i] = o.astype(o_ref.dtype)
 
 
-def _resolve_int8(int8_mode: Optional[str], dtype, kv_len: int, nk: int) -> str:
+def _resolve_int8(int8_mode: Optional[str], dtype, kv_len: int, nk: int,
+                  d: int = 128) -> str:
     """Trace-time int8 mode: explicit override, else the SD_TPU_INT8
-    attn/attn_pv buckets. Only full-row (self-attention) sites with
-    Nk >= 1024 qualify — small/cross sites aren't MXU-bound."""
+    attn/attn_pv buckets, gated to the sites where int8 MEASURED faster
+    (tools/bench_attn.py int8attn, v5e, r5):
+
+        self4096 d40:  off 7.325  qk 6.891 (-6%)   qkpv 8.174 (LOSES)
+        self1024 d80:  off 1.449  qk 1.499 (LOSES) qkpv 1.577 (LOSES)
+        vae4096 d512:  off 3.762  qk 3.298 (-12%)  qkpv 2.941 (-22%)
+
+    -> int8 engages only on full rows with Nk >= 2048; the int8 P@V only
+    pays where the PV matmul is lane-wide (d >= 256 — the VAE decode
+    attention), so ``attn_pv`` resolves to plain qk at the d=40 UNet sites.
+    """
     if int8_mode is None:
         from sd_tpu.ops.quant import int8_bucket_enabled
 
         if int8_bucket_enabled("attn_pv", dtype):
-            int8_mode = "qkpv"
+            int8_mode = "qkpv" if d >= 256 else "qk"
         elif int8_bucket_enabled("attn", dtype):
             int8_mode = "qk"
         else:
             int8_mode = "off"
-    if int8_mode != "off" and (kv_len != nk or nk < 1024):
+    if int8_mode != "off" and (kv_len != nk or nk < 2048):
         int8_mode = "off"
     return int8_mode
 
@@ -326,7 +336,7 @@ def _fwd_bhnd(qt, kt, vt, scale: float, kv_len: int,
     """
     b, h, nq, d = qt.shape
     nk = kt.shape[2]
-    int8_mode = _resolve_int8(int8_mode, qt.dtype, kv_len, nk)
+    int8_mode = _resolve_int8(int8_mode, qt.dtype, kv_len, nk, d)
     if exp_bf16 is None:
         # measured SLOWER on v5e (9.59 vs 8.80 ms at N=4096 — bf16
         # transcendentals lower with pack/unpack overhead); keep fp32 exp2
@@ -650,7 +660,8 @@ def _dispatch_fwd(qt, kt, vt, scale: float, kv_len: int, interpret: bool,
     if _spmd_partition_wanted(qt):
         # resolve the env-dispatched int8 mode BEFORE the lru_cache so the
         # partitioned callable is keyed by what will actually run
-        int8_mode = _resolve_int8(int8_mode, qt.dtype, kv_len, kt.shape[2])
+        int8_mode = _resolve_int8(int8_mode, qt.dtype, kv_len,
+                                  kt.shape[2], qt.shape[3])
         return _fwd_spmd(float(scale), kv_len, interpret, block_q, exp_bf16,
                          kt_layout, kv_chunk, int8_mode)(qt, kt, vt)
     return _fwd_bhnd(qt, kt, vt, scale, kv_len, interpret, block_q,

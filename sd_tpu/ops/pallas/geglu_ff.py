@@ -171,6 +171,14 @@ def _kernel(x_ref, w1a_ref, w1g_ref, b1a_ref, b1g_ref, w2_ref, b2_ref,
 # 1.98 vs 2.10 (c1280/i5120)
 _BM_BY_INNER = {1280: 1024, 2560: 256, 5120: 512}
 
+# W8A8 optima + per-site gate (tools/bench_attn.py ff, v5e, r5 — int8 column
+# vs the best bf16 block): c320/i1280 is a WASH at best (2.349 vs 2.349 at
+# bm512, loses at other blocks) -> stays bf16 (zero quality cost for zero
+# speed); c640/i2560 int8 bm256 1.584 vs bf16 1.776 (-11%); c1280/i5120 int8
+# bm256 1.400 vs bf16 1.810 (-23%).
+_BM_BY_INNER_INT8 = {2560: 256, 5120: 256}
+_INT8_MIN_INNER = 2560
+
 
 def _bm_table():
     """``SD_TPU_FF_BM=\"1280:512,2560:512\"`` overrides the measured block_m
@@ -309,7 +317,7 @@ def _geglu_ff_int8(x2d, w1a, w1g, b1a, b1g, w2, b2,
     m, c = x2d.shape
     inner = w2.shape[0]
     c_out = w2.shape[1]
-    bm = _block_m(m, inner, block_m)
+    bm = _block_m(m, inner, block_m or _BM_BY_INNER_INT8.get(inner))
     w1aq, sw1a = _quantize_cols(w1a)
     w1gq, sw1g = _quantize_cols(w1g)
     w2q, sw2 = _quantize_cols(w2)
@@ -364,7 +372,11 @@ def geglu_ff(x, w1, b1, w2, b2, *, interpret: bool = False,
     if int8 is None:
         from sd_tpu.ops.quant import int8_bucket_enabled
 
-        int8 = int8_bucket_enabled("ff", x.dtype)
+        # per-site gate: int8 only where it MEASURED faster (see
+        # _BM_BY_INNER_INT8 table note) — the c320/inner=1280 site stays
+        # bf16, so the 'ff' bucket costs no quality where it buys no speed
+        int8 = (int8_bucket_enabled("ff", x.dtype)
+                and w2.shape[0] >= _INT8_MIN_INNER)
     orig_shape = x.shape
     c = orig_shape[-1]
     inner = w2.shape[0]

@@ -202,10 +202,17 @@ def bench_unet(variants):
         "crossbmm": ("SD_TPU_CROSS_BMM",),
         "lowerboth": ("SD_TPU_PROJ_BARRIER", "SD_TPU_CROSS_BMM"),
     }
-    ENV_VALUE_FLAGS = {  # W8A8 conv dispatch (ops/quant.py), r4 #6 stage B
-        "int8all": {"SD_TPU_INT8": "1"},     # every Conv3x3 site
+    ENV_VALUE_FLAGS = {  # W8A8 bucket dispatch (ops/quant.py), r4 #6 / r5 #1
+        "int8all": {"SD_TPU_INT8": "conv"},  # every Conv3x3 site (r4 name)
         "int8l0": {"SD_TPU_INT8": "4096"},   # 64x64 sites only
         "int8l01": {"SD_TPU_INT8": "1024"},  # 64x64 + 32x32 sites
+        # r5 buckets (in-kernel W8A8)
+        "int8ff": {"SD_TPU_INT8": "ff"},
+        "int8attn": {"SD_TPU_INT8": "attn"},
+        "int8attnpv": {"SD_TPU_INT8": "attn_pv"},
+        "int8convff": {"SD_TPU_INT8": "conv,ff"},
+        "int8full": {"SD_TPU_INT8": "conv,ff,attn"},
+        "int8fullpv": {"SD_TPU_INT8": "conv,ff,attn,attn_pv"},
     }
 
     results = {}
@@ -283,11 +290,12 @@ def bench_ff():
         w2 = jax.random.normal(k3, (inner, c), jnp.bfloat16) * 0.03
         b2 = jax.random.normal(k4, (c,), jnp.float32) * 0.1
 
-        variants = {"xla": None}
+        variants = {"xla": (None, False)}
         for bm in (256, 512, 1024):
             if m % bm == 0:
-                variants[f"bm{bm}"] = bm
-        for tag, bm in variants.items():
+                variants[f"bm{bm}"] = (bm, False)
+                variants[f"i8bm{bm}"] = (bm, True)
+        for tag, (bm, i8) in variants.items():
             if bm is None:
                 @jax.jit
                 def step(x, _w1=w1, _b1=b1.reshape(1, -1), _w2=w2,
@@ -295,8 +303,9 @@ def bench_ff():
                     return _ff_reference(x, _w1, _b1, _w2, _b2)
             else:
                 @jax.jit
-                def step(x, _w1=w1, _b1=b1, _w2=w2, _b2=b2, _bm=bm):
-                    return geglu_ff(x, _w1, _b1, _w2, _b2, block_m=_bm)
+                def step(x, _w1=w1, _b1=b1, _w2=w2, _b2=b2, _bm=bm, _i8=i8):
+                    return geglu_ff(x, _w1, _b1, _w2, _b2, block_m=_bm,
+                                    int8=_i8)
 
             try:
                 ms = time_chain(step, x0)
@@ -307,6 +316,46 @@ def bench_ff():
             out[f"{name}/{tag}"] = round(ms, 3)
             print(f"{name:14s} {tag:6s} {ms:8.3f} ms  (x{cnt} = "
                   f"{ms * cnt:6.2f} ms/step)", flush=True)
+    print(json.dumps(out))
+
+
+def bench_int8_attn():
+    """W8A8 flash kernel vs bf16 at the self-attention sites (r5 #1b), with
+    a correctness sanity (rel error vs the bf16 kernel) per site."""
+    from sd_tpu.ops.pallas.flash_attention import flash_attention
+
+    key = jax.random.PRNGKey(0)
+    out = {}
+    for name, nq, nk, h, d, cnt in SITES:
+        if nq != nk or nq < 1024:
+            continue
+        kq, kk, kv = jax.random.split(jax.random.fold_in(key, nq), 3)
+        q0 = jax.random.normal(kq, (B, nq, h, d), jnp.bfloat16)
+        k0 = jax.random.normal(kk, (B, nk, h, d), jnp.bfloat16)
+        v0 = jax.random.normal(kv, (B, nk, h, d), jnp.bfloat16)
+        ref = None
+        for mode in ("off", "qk", "qkpv"):
+            @jax.jit
+            def step(q, _k=k0, _v=v0, _m=mode):
+                return flash_attention(q, _k, _v, int8=_m)
+
+            try:
+                o = step(q0)
+                if mode == "off":
+                    ref = jnp.asarray(o, jnp.float32)
+                    rel = 0.0
+                else:
+                    rel = float(jnp.linalg.norm(jnp.asarray(o, jnp.float32)
+                                                - ref)
+                                / jnp.linalg.norm(ref))
+                ms = time_chain(step, q0)
+            except Exception as e:
+                print(f"{name}/{mode}: FAIL {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+                continue
+            out[f"{name}/{mode}"] = {"ms": round(ms, 3), "rel": round(rel, 5)}
+            print(f"{name:16s} int8={mode:5s} {ms:8.3f} ms (x{cnt} = "
+                  f"{ms * cnt:6.2f} ms/step)  rel={rel:.2e}", flush=True)
     print(json.dumps(out))
 
 
@@ -359,6 +408,8 @@ if __name__ == "__main__":
         bench_sweep()
     elif mode == "ff":
         bench_ff()
+    elif mode == "int8attn":
+        bench_int8_attn()
     elif mode == "noattn":
         bench_unet_noattn()
     elif mode == "unet":
