@@ -140,10 +140,11 @@ def main():
     dt = (time.perf_counter() - t_start) / ITERS
 
     images_per_sec = b / dt
-    int8 = os.environ.get("SD_TPU_INT8", "0").lower() not in ("0", "off", "")
+    from sd_tpu.ops.quant import int8_mode_label
+
     result = {
         "metric": "images/sec/chip @512px 50-step PLMS CFG7.5 (SD v1.4 "
-                  "shapes, " + ("bf16+int8 convs" if int8 else "bf16") + ")",
+                  "shapes, " + int8_mode_label() + ")",
         "value": round(images_per_sec, 4),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / A100_IMAGES_PER_SEC, 3),

@@ -101,6 +101,17 @@ def dot_product_attention(
                 flash_supported,
             )
 
+            # SD_TPU_FLASH_FORCE=interpret: route qualifying self-attention
+            # sites through the Pallas kernel in interpret mode regardless
+            # of platform — the dryrun/test hook that lets the virtual CPU
+            # mesh exercise the kernel's SPMD custom_partitioning rule
+            # inside real models (__graft_entry__ pipeline leg).
+            if (os.environ.get("SD_TPU_FLASH_FORCE", "").lower()
+                    == "interpret" and mask is None
+                    and q.shape[1] == k.shape[1] and q.shape[1] >= 128
+                    and q.shape[1] % 128 == 0):
+                return flash_attention(q, k, v, scale=scale,
+                                       interpret=True)
             if impl == "flash" or flash_supported(q, k, v, mask):
                 return flash_attention(q, k, v, scale=scale, mask=mask)
         except ImportError:
@@ -129,12 +140,16 @@ class _DenseParams(nn.Module):
 
     features: int
 
+    use_bias: bool = True
+
     @nn.compact
     def __call__(self, in_features: int):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (in_features, self.features),
         )
+        if not self.use_bias:
+            return kernel, None
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
         return kernel, bias
 
@@ -202,9 +217,34 @@ class CrossAttention(nn.Module):
         inner = h * d
         context = x if context is None else context
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        # W8A8 projection bucket (SD_TPU_INT8=...,proj — opt-in, measured
+        # in-context before shipping in any default; ops/pallas/int8_dense.py
+        # has the pricing). Self-attention fuses QKV into ONE int8 matmul so
+        # the activation quant pass is paid once; cross keeps K/V bf16 (the
+        # 77-token context matmuls are tiny).
+        from sd_tpu.ops.quant import int8_bucket_enabled
+
+        i8proj = int8_bucket_enabled("proj", x.dtype)
+        if i8proj:
+            from sd_tpu.ops.pallas.int8_dense import int8_dense
+
+            wq, _ = _DenseParams(inner, use_bias=False, name="to_q")(
+                x.shape[-1])
+            wk, _ = _DenseParams(inner, use_bias=False, name="to_k")(
+                context.shape[-1])
+            wv, _ = _DenseParams(inner, use_bias=False, name="to_v")(
+                context.shape[-1])
+            if context is x:
+                qkv = int8_dense(x, jnp.concatenate([wq, wk, wv], axis=1))
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+            else:
+                q = int8_dense(x, wq)
+                k = jnp.dot(context, wk.astype(context.dtype))
+                v = jnp.dot(context, wv.astype(context.dtype))
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
 
         if context is x and os.environ.get("SD_TPU_PROJ_BARRIER", "0") == "1":
             # Perf experiment, MEASURED IN-CONTEXT AND LOST (r3, keep OFF):
@@ -233,7 +273,13 @@ class CrossAttention(nn.Module):
 
         out = dot_product_attention(q, k, v, scale=d**-0.5, mask=mask, impl=self.attn_impl)
         out = out.reshape(b, nq, inner)
-        out = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+        if i8proj:
+            from sd_tpu.ops.pallas.int8_dense import int8_dense
+
+            wo, bo = _DenseParams(self.query_dim, name="to_out")(inner)
+            out = int8_dense(out, wo, bo)
+        else:
+            out = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
 

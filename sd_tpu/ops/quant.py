@@ -45,10 +45,12 @@ three MXU-bound buckets — VERDICT r4 next-round #1):
     0/off (default)   bf16 everywhere
     1/all             the full int8 serving mode: convs + fused GEGLU-FF +
                       flash QK^T (every bucket that passed its quality gate)
-    conv[,ff][,attn][,attn_pv]
+    conv[,ff][,attn][,attn_pv][,proj]
                       explicit bucket list; ``attn`` = int8 QK^T inside the
                       flash kernel (P@V stays bf16 — the SageAttention
-                      split); ``attn_pv`` additionally quantizes P@V
+                      split); ``attn_pv`` additionally quantizes P@V;
+                      ``proj`` = fused W8A8 attention projections
+                      (ops/pallas/int8_dense.py)
     <N>               conv bucket only, at sites with H*W >= N (e.g. 4096 =
                       the 64x64 L0 sites)
 """
@@ -63,9 +65,10 @@ import jax.numpy as jnp
 __all__ = ["int8_enabled", "int8_conv3x3", "int8_buckets",
            "int8_bucket_enabled", "int8_mode_label", "quantize_rows"]
 
-_BUCKETS = ("conv", "ff", "attn", "attn_pv")
+_BUCKETS = ("conv", "ff", "attn", "attn_pv", "proj")
 # "all" = the shipped serving mode: every bucket whose quality gate passed
-# (tools/int8_quality.py). attn_pv stays explicit-only until gated.
+# (tools/int8_quality.py). attn_pv and proj stay explicit-only until
+# measured faster in-context AND gated (proj: ops/pallas/int8_dense.py).
 _ALL = frozenset(("conv", "ff", "attn"))
 
 

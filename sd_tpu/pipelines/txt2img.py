@@ -55,6 +55,12 @@ class Txt2ImgPipeline:
     watermarker: Optional[Callable] = None
     latent_channels: int = 4
     downsample: int = 8
+    # Optional jax.sharding.Mesh: batch-shards every device program over the
+    # 'data' axis (the BASELINE v5e-8 serving scenario — SURVEY §2.10). The
+    # conditioning is placed with a NamedSharding before the cached sampler
+    # program runs; GSPMD propagates the batch sharding through the scan,
+    # decode, and safety scoring. Requires batch % mesh.shape['data'] == 0.
+    mesh: Optional[Any] = None
 
     # --- compiled-program cache -------------------------------------------
     # The samplers are eager `lax.scan` programs whose closures capture fresh
@@ -75,6 +81,17 @@ class Txt2ImgPipeline:
         from sd_tpu.pipelines._jit import cached_jit
 
         return cached_jit(self, key, builder)
+
+    def _shard_batch(self, arr):
+        """Place ``arr`` batch-sharded over the mesh's 'data' axis."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n = self.mesh.shape["data"]
+        assert arr.shape[0] % n == 0, (
+            f"batch {arr.shape[0]} not divisible by the mesh data-axis "
+            f"size {n}")
+        spec = PartitionSpec("data", *([None] * (arr.ndim - 1)))
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
     def _sample_params(self):
         """Param bundles the sampler program needs: the UNet always; every
@@ -168,6 +185,10 @@ class Txt2ImgPipeline:
         if guidance_scale != 1.0:
             neg = negative_prompts if negative_prompts is not None else [""] * len(prompts)
             uncond = self.encode_prompts(list(neg))
+        if self.mesh is not None:
+            cond = self._shard_batch(cond)
+            uncond = self._shard_batch(uncond) if uncond is not None else None
+            x_T = self._shard_batch(x_T) if x_T is not None else None
         skey = ("sample", sampler, height, width, steps,
                 float(guidance_scale), float(eta), uncond is not None,
                 x_T is not None)

@@ -213,6 +213,8 @@ def bench_unet(variants):
         "int8convff": {"SD_TPU_INT8": "conv,ff"},
         "int8full": {"SD_TPU_INT8": "conv,ff,attn"},
         "int8fullpv": {"SD_TPU_INT8": "conv,ff,attn,attn_pv"},
+        "int8proj": {"SD_TPU_INT8": "proj"},
+        "int8fullproj": {"SD_TPU_INT8": "conv,ff,attn,proj"},
     }
 
     results = {}

@@ -79,6 +79,89 @@ def color_report(imgs, labels):
     }
 
 
+def flagship_agreement(steps: int, out_dir: str):
+    """bf16-vs-int8 agreement at FLAGSHIP scale (r4 verdict #5 extension):
+    the toy probe's sites are too small to dispatch the r5 ff/attn int8
+    kernels (FF gate inner>=2560, flash QK^T gate Nk>=2048), so this leg
+    runs the 860M SD-v1 UNet (synthetic seeded weights — zero-egress env)
+    through a CFG DDIM latent trajectory twice with identical seeds and
+    reports the accumulated numeric drift of the FULL int8 serving mode at
+    the exact sites it ships on. Weights are random, so this is a numeric
+    agreement gate, not a sample-quality one — but every quantized kernel
+    (convs, GEGLU-FF, flash QK^T) dispatches at its real shape.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sd_tpu.core.schedules import DiffusionSchedule
+    from sd_tpu.models.unet import UNetConfig, UNetModel
+    from sd_tpu.samplers import ddim_sample
+
+    cfg = UNetConfig.from_dict(dict(
+        image_size=64, in_channels=4, out_channels=4, model_channels=320,
+        attention_resolutions=[4, 2, 1], num_res_blocks=2,
+        channel_mult=[1, 2, 4, 4], num_heads=8, use_spatial_transformer=True,
+        transformer_depth=1, context_dim=768, legacy=False,
+    ))
+    unet = UNetModel(config=cfg, dtype=jnp.bfloat16)
+    b = 2
+    x0 = jnp.zeros((b, 64, 64, 4), jnp.bfloat16)
+    t0 = jnp.zeros((b,), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    kc, ku, kp, ks = jax.random.split(key, 4)
+    cond = 0.02 * jax.random.normal(kc, (b, 77, 768), jnp.bfloat16)
+    uncond = 0.02 * jax.random.normal(ku, (b, 77, 768), jnp.bfloat16)
+    shapes = jax.eval_shape(lambda k: unet.init(k, x0, t0, cond), kp)
+    params = jax.tree.map(
+        lambda s: (0.02 * jax.random.normal(
+            jax.random.fold_in(kp, hash(s.shape) % (2**31)), s.shape)
+        ).astype(s.dtype), shapes)["params"]
+    schedule = DiffusionSchedule.create()
+
+    def apply_model(x, t, c):
+        return unet.apply({"params": params}, x.astype(jnp.bfloat16), t, c
+                          ).astype(jnp.float32)
+
+    def run_arm():
+        jax.clear_caches()
+        z, _ = ddim_sample(apply_model, schedule, (b, 64, 64, 4), cond, ks,
+                           num_steps=steps, uncond=uncond,
+                           guidance_scale=7.5)
+        return np.asarray(z, np.float32)
+
+    os.environ.pop("SD_TPU_INT8", None)
+    z_bf16 = run_arm()
+    os.environ["SD_TPU_INT8"] = "all"
+    try:
+        z_int8 = run_arm()
+    finally:
+        os.environ.pop("SD_TPU_INT8", None)
+    assert not np.array_equal(z_bf16, z_int8), (
+        "flagship int8 arm identical to bf16 — int8 kernels did not dispatch")
+    rel = float(np.linalg.norm(z_bf16 - z_int8) / np.linalg.norm(z_bf16))
+    peak = float(z_bf16.max() - z_bf16.min())
+    mse = float(np.mean((z_bf16 - z_int8) ** 2))
+    psnr = 10 * np.log10(peak**2 / max(mse, 1e-12))
+    rep = {
+        "steps": steps,
+        "mode": "all (conv,ff,attn)",
+        "latent_rel_l2": round(rel, 5),
+        "latent_psnr_db": round(float(psnr), 2),
+        "bf16_latent_std": round(float(z_bf16.std()), 4),
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "int8_flagship_agreement.json"),
+              "w") as f:
+        json.dump(rep, f, indent=1)
+    print(json.dumps(rep, indent=1))
+    # every per-kernel rel error measured <=1e-2 (bench_attn int8attn) and
+    # the conv/FF dequant is per-channel; a trajectory that accumulates past
+    # 10% rel drift would mean a kernel-level regression
+    ok = rel < 0.10
+    print("INT8 FLAGSHIP AGREEMENT:", "PASS" if ok else "CHECK REPORT")
+    return 0 if ok else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--run", default=None)
@@ -90,7 +173,14 @@ def main():
     ap.add_argument("--seed", type=int, default=23)
     ap.add_argument("--out", default=os.path.join(REPO,
                                                   "artifacts/convergence"))
+    ap.add_argument("--flagship", action="store_true",
+                    help="run the 860M-UNet numeric agreement leg instead "
+                         "(exercises the ff/attn int8 kernels, which the "
+                         "toy probe's sites are too small to dispatch)")
     args = ap.parse_args()
+    if args.flagship:
+        return flagship_agreement(args.steps if args.steps != 50 else 8,
+                                  args.out)
     run = args.run or find_run()
 
     import jax
@@ -124,13 +214,29 @@ def main():
     shape = (len(labels), 32, 32, 3)
     key = jax.random.PRNGKey(1234)
 
+    # The A/B flips a TRACE-time env var between the two sample_set calls.
+    # ddim_sample is an eager lax.scan that retraces every call today, but
+    # if it is ever routed through the pipelines' cached_jit the second arm
+    # would silently reuse the bf16 program and this gate would report a
+    # perfect PSNR (ADVICE r4 #4) — clear every cache layer between arms and
+    # fail LOUDLY below if the arms come back bitwise identical.
+    from sd_tpu.pipelines._jit import clear_jit_cache
+
     os.environ.pop("SD_TPU_INT8", None)
+    clear_jit_cache(ldm)
+    jax.clear_caches()
     imgs_bf16 = sample_set(ldm, cond, shape, key, args.steps)
     os.environ["SD_TPU_INT8"] = "all"
     try:
+        clear_jit_cache(ldm)
+        jax.clear_caches()
         imgs_int8 = sample_set(ldm, cond, shape, key, args.steps)
     finally:
         os.environ.pop("SD_TPU_INT8", None)
+    assert not np.array_equal(imgs_bf16, imgs_int8), (
+        "bf16 and int8 arms are bitwise identical — the int8 path did not "
+        "dispatch (cache reuse or gating regression); the PSNR gate below "
+        "would be vacuous")
 
     mse = float(np.mean((imgs_bf16 - imgs_int8) ** 2))
     psnr = 10 * np.log10(4.0 / max(mse, 1e-12))  # [-1,1] range -> peak 2
