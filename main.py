@@ -28,6 +28,10 @@ def parse_args():
     p.add_argument("--val_every", type=int, default=0)
     p.add_argument("--ckpt_every", type=int, default=1000)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--no_images", action="store_true",
+                   help="skip ImageLogger sample grids (each firing runs a "
+                        "DDIM sampling scan — minutes of remote-compile RPC "
+                        "per cadence point when training on the TPU tunnel)")
     p.add_argument("--scale_lr", type=lambda v: v.lower() != "false", default=True)
     p.add_argument("--ckpt", type=str, default="",
                    help="torch .ckpt to warm-start from (weight port)")
@@ -142,7 +146,7 @@ def main():
         val_every=opt.val_every, ckpt_every=opt.ckpt_every,
         log_every=opt.log_every,
         monitor=config["model"].get("params", {}).get("monitor"),
-        image_logger=ImageLogger(logdir),
+        image_logger=None if opt.no_images else ImageLogger(logdir),
         metrics_writer=MetricsWriter(logdir),
     )
     harness.dump_config(config)

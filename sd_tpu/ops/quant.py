@@ -67,8 +67,13 @@ __all__ = ["int8_enabled", "int8_conv3x3", "int8_buckets",
 
 _BUCKETS = ("conv", "ff", "attn", "attn_pv", "proj")
 # "all" = the shipped serving mode: every bucket whose quality gate passed
-# (tools/int8_quality.py). attn_pv and proj stay explicit-only until
-# measured faster in-context AND gated (proj: ops/pallas/int8_dense.py).
+# (tools/int8_quality.py) AND measured faster in-context. attn_pv and proj
+# stay explicit-only: proj was MEASURED a big loss on-chip (r5,
+# /tmp/unet_proj_r5.log: int8full 95.64 vs +proj 112.31 ms/CFG-step — the
+# standalone-kernel QKV projection forfeits XLA's fused dilated-conv
+# lowering around the self-attention sites, the same in-context effect that
+# killed the r3 projection-barrier ablations); attn_pv only pays lane-wide
+# (d>=256, i.e. VAE decode), where the attn bucket already routes it.
 _ALL = frozenset(("conv", "ff", "attn"))
 
 
