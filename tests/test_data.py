@@ -182,3 +182,124 @@ def test_parallel_data_prefetch_list():
                                  list(range(10)), n_proc=3,
                                  target_data_type="list", cpu_intensive=False)
     assert out == list(range(1, 11))
+
+
+# ------------------------------------------------- ImageNet prepare machinery
+
+def _mini_jpeg(path, seed, hw=(40, 40)):
+    from PIL import Image
+
+    Image.fromarray(
+        (np.random.default_rng(seed).random((*hw, 3)) * 255).astype(np.uint8)
+    ).save(path, format="JPEG")
+
+
+def _make_train_root(tmp_path):
+    """Fake ILSVRC2012_img_train.tar: nested one-tar-per-synset layout
+    (ldm/data/imagenet.py:163-185)."""
+    import tarfile
+
+    root = tmp_path / "ILSVRC2012_train"
+    root.mkdir()
+    stage = tmp_path / "stage"
+    synsets = ["n01000001", "n01000002"]
+    subtars = []
+    for s, syn in enumerate(synsets):
+        d = stage / syn
+        d.mkdir(parents=True)
+        for i in range(2):
+            _mini_jpeg(d / f"{syn}_{i}.JPEG", seed=10 * s + i)
+        subtar = stage / f"{syn}.tar"
+        with tarfile.open(subtar, "w") as tar:
+            for i in range(2):
+                tar.add(d / f"{syn}_{i}.JPEG", arcname=f"{syn}_{i}.JPEG")
+        subtars.append(subtar)
+    with tarfile.open(root / "ILSVRC2012_img_train.tar", "w") as tar:
+        for subtar in subtars:
+            tar.add(subtar, arcname=subtar.name)
+    (root / "synset_human.txt").write_text(
+        "n01000001 tench, Tinca tinca\nn01000002 goldfish, Carassius\n")
+    (root / "index_synset.yaml").write_text(
+        "0: n01000001\n1: n01000002\n")
+    return root, synsets
+
+
+def test_imagenet_train_prepare_and_metadata(tmp_path):
+    from sd_tpu.data.imagenet import (
+        DownloadRequired, ImageNetTrain, prepare_imagenet_train)
+
+    root, synsets = _make_train_root(tmp_path)
+    prepare_imagenet_train(str(root), strict_size=False)
+    # layout: data/<synset>/*.JPEG + sorted filelist + idempotent marker
+    fl = (root / "filelist.txt").read_text().splitlines()
+    assert fl == sorted(fl) and len(fl) == 4
+    assert all((root / "data" / p).exists() for p in fl)
+    mtime = os.path.getmtime(root / "filelist.txt")
+    prepare_imagenet_train(str(root), strict_size=False)  # no re-prep
+    assert os.path.getmtime(root / "filelist.txt") == mtime
+
+    ds = ImageNetTrain(data_root=str(root), size=32)
+    ex = ds[0]
+    assert ex["image"].shape == (32, 32, 3)
+    assert ex["synsets"] == "n01000001"
+    assert ex["human_label"].startswith("tench")
+    assert ex["class_label"] == 0
+    # sub_indices grammar + keep_orig_class_label via index_synset.yaml
+    sub = ImageNetTrain(data_root=str(root), sub_indices="1",
+                        keep_orig_class_label=True, process_images=False)
+    assert len(sub) == 2 and all(
+        sub[i]["synsets"] == "n01000002" and sub[i]["class_label"] == 1
+        for i in range(2))
+    # absent tarball surfaces the acquisition route instead of half-failing
+    with pytest.raises(DownloadRequired, match="academictorrents"):
+        prepare_imagenet_train(str(tmp_path / "empty"))
+
+
+def test_imagenet_val_prepare_reorganizes_synsets(tmp_path):
+    import tarfile
+
+    from sd_tpu.data.imagenet import (
+        DownloadRequired, ImageNetValidation, prepare_imagenet_validation)
+
+    root = tmp_path / "ILSVRC2012_validation"
+    root.mkdir()
+    stage = tmp_path / "vstage"
+    stage.mkdir()
+    names = [f"ILSVRC2012_val_0000000{i}.JPEG" for i in range(1, 5)]
+    for i, name in enumerate(names):
+        _mini_jpeg(stage / name, seed=100 + i)
+    with tarfile.open(root / "ILSVRC2012_img_val.tar", "w") as tar:
+        for name in names:
+            tar.add(stage / name, arcname=name)
+    # flat-tar case without the synset map: hard error naming the map URL
+    with pytest.raises(DownloadRequired, match="validation_synset"):
+        prepare_imagenet_validation(str(root), strict_size=False)
+    import shutil
+
+    shutil.rmtree(root / "data")
+    (root / "validation_synset.txt").write_text("".join(
+        f"{name} n0100000{1 + i % 2}\n" for i, name in enumerate(names)))
+    prepare_imagenet_validation(str(root), strict_size=False)
+    fl = (root / "filelist.txt").read_text().splitlines()
+    assert len(fl) == 4 and all("/" in p for p in fl)
+    ds = ImageNetValidation(data_root=str(root), size=16)
+    assert {ds[i]["synsets"] for i in range(4)} == {"n01000001", "n01000002"}
+
+
+def test_imagenet_sr_hr_indices_split(tmp_path):
+    import pickle
+
+    from sd_tpu.data.imagenet import ImageNetSRTrain, prepare_imagenet_train
+
+    root, _ = _make_train_root(tmp_path)
+    prepare_imagenet_train(str(root), strict_size=False)
+    hr = tmp_path / "imagenet_train_hr_indices.p"
+    with open(hr, "wb") as f:
+        pickle.dump([0, 3], f)
+    sr = ImageNetSRTrain(data_root=str(root), hr_indices=str(hr),
+                         size=32, degradation="bsrgan_light", downscale_f=4)
+    assert len(sr) == 2
+    ex = sr[1]
+    assert ex["image"].shape == (32, 32, 3)
+    assert ex["LR_image"].shape == (8, 8, 3)
+    assert ex["synsets"] == "n01000002"
