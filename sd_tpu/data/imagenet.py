@@ -66,6 +66,8 @@ SYNSET_HUMAN_SIZE = 2_655_750
 SYNSET_HUMAN_URL = "https://heibox.uni-heidelberg.de/f/9f28e956cd304264bb82/?dl=1"
 IDX_SYNSET_FILE = "index_synset.yaml"
 IDX_SYNSET_URL = "https://heibox.uni-heidelberg.de/f/d835d5b6ceda4d3aa910/?dl=1"
+HUMAN2INT_FILE = "imagenet1000_clsidx_to_labels.txt"
+HUMAN2INT_URL = "https://heibox.uni-heidelberg.de/f/2362b797d5be43b883f6/?dl=1"
 
 # One corrupt file the reference unconditionally drops (``imagenet.py:49-52``).
 IGNORE_FILES = frozenset({"n06596364_9591.JPEG"})
@@ -258,6 +260,15 @@ class ImageNetBase(Dataset):
                 self.human_dict = dict(
                     line.split(maxsplit=1) for line in f.read().splitlines()
                     if line.strip())
+        # human description -> canonical 1000-class integer, when the map
+        # file is present (``imagenet.py:81-91``; "<int>:<human label>" lines)
+        human2int_path = os.path.join(data_root, HUMAN2INT_FILE)
+        self.human2integer_dict: Dict[str, int] = {}
+        if os.path.exists(human2int_path):
+            with open(human2int_path) as f:
+                for line in f.read().splitlines():
+                    value, key = line.split(":", 1)
+                    self.human2integer_dict[key] = int(value)
         self.size = size
         self.random_crop = random_crop
         self.process_images = process_images

@@ -303,3 +303,15 @@ def test_imagenet_sr_hr_indices_split(tmp_path):
     assert ex["image"].shape == (32, 32, 3)
     assert ex["LR_image"].shape == (8, 8, 3)
     assert ex["synsets"] == "n01000002"
+
+
+def test_imagenet_human2integer_map(tmp_path):
+    from sd_tpu.data.imagenet import ImageNetTrain, prepare_imagenet_train
+
+    root, _ = _make_train_root(tmp_path)
+    (root / "imagenet1000_clsidx_to_labels.txt").write_text(
+        "0: tench, Tinca tinca\n1: goldfish, Carassius\n")
+    prepare_imagenet_train(str(root), strict_size=False)
+    ds = ImageNetTrain(data_root=str(root), process_images=False)
+    assert ds.human2integer_dict[" tench, Tinca tinca"] == 0
+    assert ds.human2integer_dict[" goldfish, Carassius"] == 1

@@ -46,10 +46,17 @@ def find_run():
 
 
 def sample_set(ldm, cond, shape, key, steps):
-    from sd_tpu.samplers import ddim_sample
+    """Full clipped ancestral chain — the reference's PIXEL-SPACE sampling
+    convention (``ddpm.py::p_sample_loop`` with ``clip_denoised=True``).
+    The probe trains in pixel space (IdentityFirstStage), where unclipped
+    DDIM x0-extrapolation can blow past [-1,1] and off-manifold (measured:
+    unclipped DDIM-50 left half the classes as noise with pixel ranges
+    +-10; the clipped chain samples every class cleanly, top-1 = 1.0)."""
+    del steps  # the ancestral chain runs the full 1000-step schedule
+    from sd_tpu.samplers.ancestral import p_sample_loop
 
-    z, _ = ddim_sample(ldm.apply_model, ldm.schedule, shape, cond, key,
-                       num_steps=steps)
+    z, _ = p_sample_loop(ldm.apply_model, ldm.schedule, shape, cond=cond,
+                         rng=key, clip_denoised=True)
     return np.asarray(ldm.decode_first_stage(z)).astype(np.float32)
 
 
@@ -190,7 +197,10 @@ def main():
     from sd_tpu.utils.config import build_latent_diffusion, load_yaml
     from sd_tpu.utils.image import make_grid, save_image
 
-    cfg = load_yaml(CFG)
+    # prefer the run's own dumped config (probe v2 trains a different
+    # architecture than the r4 convergence-shapes.yaml default)
+    dumped = os.path.join(run, "configs", "project.yaml")
+    cfg = load_yaml(dumped if os.path.exists(dumped) else CFG)
     ldm = build_latent_diffusion(cfg["model"],
                                  rng=jax.random.PRNGKey(args.seed),
                                  init_params=True,
@@ -215,7 +225,7 @@ def main():
     key = jax.random.PRNGKey(1234)
 
     # The A/B flips a TRACE-time env var between the two sample_set calls.
-    # ddim_sample is an eager lax.scan that retraces every call today, but
+    # p_sample_loop is an eager lax.scan that retraces every call today, but
     # if it is ever routed through the pipelines' cached_jit the second arm
     # would silently reuse the bf16 program and this gate would report a
     # perfect PSNR (ADVICE r4 #4) — clear every cache layer between arms and
@@ -242,7 +252,7 @@ def main():
     psnr = 10 * np.log10(4.0 / max(mse, 1e-12))  # [-1,1] range -> peak 2
     rep = {
         "run": run,
-        "steps": args.steps,
+        "sampler": "ancestral-1000 clip_denoised (ddpm.py::p_sample_loop)",
         "samples": int(len(labels)),
         "platform": str(jax.devices()[0]),
         "bf16": color_report(imgs_bf16, labels),
@@ -261,7 +271,7 @@ def main():
     # 32-channel DDPM trained a few thousand steps is not a great sampler
     # (color metrics above are reported as context), but whatever it draws,
     # the int8 path must draw the SAME thing — >=30 dB PSNR over the full
-    # 50-step trajectory, and no degradation of the color metrics vs bf16.
+    # 1000-step trajectory, and no degradation of the color metrics vs bf16.
     ok = (rep["int8_vs_bf16_psnr_db"] >= 30.0
           and rep["int8"]["fg_color_mae"]
           <= rep["bf16"]["fg_color_mae"] + 0.05)
