@@ -67,6 +67,15 @@ class LatentDiffusion:
     # sliding-window tiling for large canvases (the reference's
     # split_input_params, ddpm.py:601-651): dict(ks, stride, vqf) or None
     split_input_params: Optional[Dict[str, Any]] = None
+    # load-time weight-quantization overlays for the int8 serving mode
+    # (ops/quant.py::prequantize_weights): int8 copies of the conv/FF
+    # weights, passed to apply as the "qw" collection. None = modules
+    # quantize inline per step (same math bitwise; the overlay saves a
+    # measured 1.6 ms/CFG-step inside sampler scan programs —
+    # tools/exp_wq_hoist.py). Populated by pipelines/build.py when an int8
+    # weight bucket is active.
+    unet_qw: Any = None
+    first_stage_qw: Any = None
 
     # ------------------------------------------------------------- UNet
 
@@ -252,17 +261,17 @@ class LatentDiffusion:
         y = get("y")
 
         if key is None:
-            return self.unet.apply({"params": self.unet_params}, x, t)
+            return self.unet.apply(self._unet_variables(), x, t)
         if key == "concat":
             xc = jnp.concatenate([x, c_concat], axis=-1)
-            return self.unet.apply({"params": self.unet_params}, xc, t)
+            return self.unet.apply(self._unet_variables(), xc, t)
         if key == "crossattn":
-            return self.unet.apply({"params": self.unet_params}, x, t, c_crossattn)
+            return self.unet.apply(self._unet_variables(), x, t, c_crossattn)
         if key == "hybrid":
             xc = jnp.concatenate([x, c_concat], axis=-1)
-            return self.unet.apply({"params": self.unet_params}, xc, t, c_crossattn)
+            return self.unet.apply(self._unet_variables(), xc, t, c_crossattn)
         if key == "adm":
-            return self.unet.apply({"params": self.unet_params}, x, t, None, y)
+            return self.unet.apply(self._unet_variables(), x, t, None, y)
         raise NotImplementedError(f"conditioning_key {key}")
 
     # ----------------------------------------------------- first stage
@@ -281,9 +290,9 @@ class LatentDiffusion:
 
             def enc_tile(patches):
                 if isinstance(m, VQModel):
-                    return m.apply({"params": self.first_stage_params}, patches,
+                    return m.apply(self._first_stage_variables(), patches,
                                    method=m.encode_pre_quant)
-                moments_model = m.apply({"params": self.first_stage_params},
+                moments_model = m.apply(self._first_stage_variables(),
                                         patches, method=m.encode)
                 return jnp.concatenate(
                     [moments_model.mean, moments_model.logvar], axis=-1)
@@ -295,9 +304,9 @@ class LatentDiffusion:
 
             return DiagonalGaussian.from_moments(out)
         if isinstance(m, VQModel):
-            return m.apply({"params": self.first_stage_params}, x,
+            return m.apply(self._first_stage_variables(), x,
                            method=m.encode_pre_quant)
-        return m.apply({"params": self.first_stage_params}, x, method=m.encode)
+        return m.apply(self._first_stage_variables(), x, method=m.encode)
 
     def get_first_stage_encoding(self, encoding, rng=None) -> jnp.ndarray:
         """Sample/pass-through + scale. Ref: ``ddpm.py:542-549``."""
@@ -327,10 +336,10 @@ class LatentDiffusion:
 
             def dec_tile(patches):
                 if isinstance(m, VQModel):
-                    return m.apply({"params": self.first_stage_params}, patches,
+                    return m.apply(self._first_stage_variables(), patches,
                                    not force_not_quantize and True,
                                    method=m.decode)
-                return m.apply({"params": self.first_stage_params}, patches,
+                return m.apply(self._first_stage_variables(), patches,
                                method=m.decode)
 
             from sd_tpu.pipelines.tiled import tiled_apply
@@ -344,9 +353,9 @@ class LatentDiffusion:
                 clip_max=p.get("clip_max_weight", 0.5),
             )
         if isinstance(m, VQModel):
-            return m.apply({"params": self.first_stage_params}, z,
+            return m.apply(self._first_stage_variables(), z,
                            not force_not_quantize and True, method=m.decode)
-        return m.apply({"params": self.first_stage_params}, z, method=m.decode)
+        return m.apply(self._first_stage_variables(), z, method=m.decode)
 
     # ------------------------------------------------------ cond stage
 
@@ -381,8 +390,25 @@ class LatentDiffusion:
 
     def with_params(self, unet_params) -> "LatentDiffusion":
         """Functional ``ema_scope`` (``ddpm.py:171-184``): evaluating with EMA
-        weights is just binding the shadow pytree — no store/copy/restore."""
-        return dataclasses.replace(self, unet_params=unet_params)
+        weights is just binding the shadow pytree — no store/copy/restore.
+
+        Drops any ``unet_qw`` overlay: it was quantized from the PREVIOUS
+        weights and would silently serve stale int8 kernels. Callers that
+        want the overlay re-derive it (pipelines/build.py does)."""
+        return dataclasses.replace(self, unet_params=unet_params,
+                                   unet_qw=None)
+
+    def _unet_variables(self) -> Dict[str, Any]:
+        v = {"params": self.unet_params}
+        if self.unet_qw is not None:
+            v["qw"] = self.unet_qw
+        return v
+
+    def _first_stage_variables(self) -> Dict[str, Any]:
+        v = {"params": self.first_stage_params}
+        if self.first_stage_qw is not None:
+            v["qw"] = self.first_stage_qw
+        return v
 
     # --------------------------------------------- params as jit ARGUMENTS
     # Never close the param bundle over a jitted program: XLA embeds closures
@@ -395,15 +421,21 @@ class LatentDiffusion:
     # with `bind_params` — which also makes checkpoint/EMA hot-swap free.
 
     PARAM_FIELDS = ("unet_params", "first_stage_params", "cond_stage_params")
+    # weight-quantization overlays ride along with their param bundle so the
+    # int8 "qw" path sees jit ARGUMENTS too (same CSE/413 reasoning above)
+    QW_FIELDS = {"unet_params": "unet_qw",
+                 "first_stage_params": "first_stage_qw"}
 
     def runtime_params(self, *fields: str) -> Dict[str, Any]:
         """Live param pytrees keyed by field name, for passing as jit args.
 
         With no ``fields``, returns every non-None param bundle (the tiled /
         bbox paths may touch all three stages inside one program); pass field
-        names to scope a program to just what it uses.
+        names to scope a program to just what it uses. A param field's
+        ``qw`` overlay (when set) is included automatically.
         """
-        names = fields or self.PARAM_FIELDS
+        names = list(fields or self.PARAM_FIELDS)
+        names += [q for f, q in self.QW_FIELDS.items() if f in names]
         return {f: getattr(self, f) for f in names
                 if getattr(self, f) is not None}
 
@@ -420,7 +452,7 @@ class LatentDiffusion:
 
         def quantize(x0):
             z_q, _, _ = m.apply(
-                {"params": self.first_stage_params}, x0 / self.scale_factor,
+                self._first_stage_variables(), x0 / self.scale_factor,
                 method=m.quantize_latent,
             )
             return z_q * self.scale_factor

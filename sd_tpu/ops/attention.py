@@ -186,7 +186,16 @@ class FeedForward(nn.Module):
                 w1, b1 = _GEGLUParams(inner, name="proj_in")(x.shape[-1])
                 w2, b2 = _DenseParams(
                     self.dim_out or self.dim, name="proj_out")(inner)
-                return geglu_ff(x, w1, b1, w2, b2)
+                # load-time-quantized weights for the int8 FF path (the
+                # "qw" overlay, ops/quant.py::prequantize_weights) — inline
+                # per-step re-quantization is not LICM-hoisted out of
+                # sampler scans (tools/exp_wq_hoist.py)
+                prequant = None
+                if self.has_variable("qw", "w2_q"):
+                    gv = lambda n: self.variable("qw", n).value
+                    prequant = (gv("w1a_q"), gv("w1a_s"), gv("w1g_q"),
+                                gv("w1g_s"), gv("w2_q"), gv("w2_s"))
+                return geglu_ff(x, w1, b1, w2, b2, prequant=prequant)
         if self.glu:
             x = GEGLU(inner, dtype=self.dtype, name="proj_in")(x)
         else:

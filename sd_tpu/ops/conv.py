@@ -59,8 +59,18 @@ class Conv3x3(nn.Module):
             and winograd_supported(x.shape, kernel.shape, dtype))
         if self.impl == "auto" and not use_wino and int8_enabled(
                 x.shape, dtype):
-            # opt-in W8A8 serving mode (SD_TPU_INT8) — see ops/quant.py
-            return int8_conv3x3(x, kernel, bias, dtype)
+            # opt-in W8A8 serving mode (SD_TPU_INT8) — see ops/quant.py.
+            # When the pipeline loaded a load-time weight-quantization
+            # overlay (ops/quant.py::prequantize_weights, passed to apply as
+            # the "qw" collection), consume the int8 kernel directly: inside
+            # lax.scan sampler programs the inline re-quantize is NOT
+            # LICM-hoisted and costs a measured 1.6 ms/CFG-step
+            # (tools/exp_wq_hoist.py).
+            prequant = None
+            if self.has_variable("qw", "kq"):
+                prequant = (self.variable("qw", "kq").value,
+                            self.variable("qw", "sw").value)
+            return int8_conv3x3(x, kernel, bias, dtype, prequant=prequant)
         if use_wino:
             y = winograd_conv3x3(x, kernel, interpret=self.interpret)
         else:

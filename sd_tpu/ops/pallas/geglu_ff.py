@@ -311,16 +311,25 @@ _geglu_ff.defvjp(_geglu_ff_fwd, _geglu_ff_bwd)
 
 
 def _geglu_ff_int8(x2d, w1a, w1g, b1a, b1g, w2, b2,
-                   interpret: bool, block_m: Optional[int]):
+                   interpret: bool, block_m: Optional[int],
+                   prequant=None):
     """Inference-only W8A8 path (no vjp: round() is zero-gradient a.e.;
-    training is guarded off in LDMTrainer.train_step)."""
+    training is guarded off in LDMTrainer.train_step).
+
+    ``prequant``: optional ``(w1aq, sw1a, w1gq, sw1g, w2q, sw2)`` quantized
+    at load time (ops/quant.py::prequantize_weights — bitwise the same math
+    as the inline ``_quantize_cols`` calls below, hoisted out of sampler
+    scan programs; tools/exp_wq_hoist.py)."""
     m, c = x2d.shape
     inner = w2.shape[0]
     c_out = w2.shape[1]
     bm = _block_m(m, inner, block_m or _BM_BY_INNER_INT8.get(inner))
-    w1aq, sw1a = _quantize_cols(w1a)
-    w1gq, sw1g = _quantize_cols(w1g)
-    w2q, sw2 = _quantize_cols(w2)
+    if prequant is not None:
+        w1aq, sw1a, w1gq, sw1g, w2q, sw2 = prequant
+    else:
+        w1aq, sw1a = _quantize_cols(w1a)
+        w1gq, sw1g = _quantize_cols(w1g)
+        w2q, sw2 = _quantize_cols(w2)
     const = lambda i: (0, 0)
     return pl.pallas_call(
         _kernel_int8,
@@ -356,7 +365,8 @@ def _geglu_ff_int8(x2d, w1a, w1g, b1a, b1g, w2, b2,
 
 
 def geglu_ff(x, w1, b1, w2, b2, *, interpret: bool = False,
-             block_m: Optional[int] = None, int8: Optional[bool] = None):
+             block_m: Optional[int] = None, int8: Optional[bool] = None,
+             prequant=None):
     """Fused GEGLU feed-forward: ``(x@w1+b1) -> a * gelu(g) -> @w2+b2``.
 
     Args:
@@ -368,6 +378,10 @@ def geglu_ff(x, w1, b1, w2, b2, *, interpret: bool = False,
       int8: W8A8 path (``_kernel_int8``). None = dispatch on the
         ``SD_TPU_INT8`` 'ff' bucket (inference serving mode, quality-gated
         by tools/int8_quality.py).
+      prequant: optional load-time-quantized weights
+        ``(w1aq, sw1a, w1gq, sw1g, w2q, sw2)`` for the int8 path (the ``qw``
+        overlay — ops/quant.py::prequantize_weights); ignored on the bf16
+        path.
     """
     if int8 is None:
         from sd_tpu.ops.quant import int8_bucket_enabled
@@ -380,6 +394,7 @@ def geglu_ff(x, w1, b1, w2, b2, *, interpret: bool = False,
     orig_shape = x.shape
     c = orig_shape[-1]
     inner = w2.shape[0]
+    c_out = w2.shape[1]
     x2d = x.reshape(-1, c)
     w1 = w1.astype(x.dtype)
     b1 = b1.astype(jnp.float32)
@@ -390,7 +405,7 @@ def geglu_ff(x, w1, b1, w2, b2, *, interpret: bool = False,
     w2 = w2.astype(x.dtype)
     if int8:
         out = _geglu_ff_int8(x2d, w1a, w1g, b1a, b1g, w2, b2, interpret,
-                             block_m)
+                             block_m, prequant=prequant)
     else:
         out = _geglu_ff(x2d, w1a, w1g, b1a, b1g, w2, b2, interpret, block_m)
-    return out.reshape(*orig_shape[:-1], w2.shape[1])
+    return out.reshape(*orig_shape[:-1], c_out)

@@ -63,7 +63,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["int8_enabled", "int8_conv3x3", "int8_buckets",
-           "int8_bucket_enabled", "int8_mode_label", "quantize_rows"]
+           "int8_bucket_enabled", "int8_mode_label", "quantize_rows",
+           "quantize_conv_kernel", "prequantize_weights", "wq_hoist_wanted"]
 
 _BUCKETS = ("conv", "ff", "attn", "attn_pv", "proj")
 # "all" = the shipped serving mode: every bucket whose quality gate passed
@@ -150,23 +151,135 @@ def quantize_rows(x, axis: int = -1):
     return q, s
 
 
-def int8_conv3x3(x, kernel, bias, out_dtype):
+def quantize_conv_kernel(kernel):
+    """Per-output-channel symmetric int8 quantization of a conv kernel.
+
+    ``kernel`` [3,3,Cin,Cout] (any float dtype) -> ``(kq int8, sw fp32
+    [Cout])`` with ``kq * sw ~= kernel``. The SAME math whether run inline
+    per step (``int8_conv3x3`` without prequant) or hoisted to load time
+    (``prequantize_weights``) — bitwise, so the int8 quality gate transfers.
+    """
+    kf = kernel.astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0, 1e-12)
+    kq = jnp.clip(jnp.round(kf / sw[None, None, None, :]),
+                  -127.0, 127.0).astype(jnp.int8)
+    return kq, sw
+
+
+def int8_conv3x3(x, kernel, bias, out_dtype, prequant=None):
     """W8A8 3x3 stride-1 SAME conv: quantize -> int8 MXU conv -> dequant.
 
     ``x`` [B,H,W,Cin] (any float dtype), ``kernel`` [3,3,Cin,Cout] fp32,
     ``bias`` [Cout] fp32. Returns [B,H,W,Cout] in ``out_dtype``.
+
+    ``prequant``: optional ``(kq, sw)`` from :func:`quantize_conv_kernel`,
+    computed ONCE at checkpoint-load time (the ``qw`` overlay —
+    ``prequantize_weights``). Re-quantizing the 521M UNet conv weights
+    inline costs ~nothing in a single-step program (XLA fuses the quantize
+    into the conv's weight read) but a measured 1.6 ms/CFG-step inside
+    ``lax.scan`` sampler programs, where LICM does NOT hoist it and int8
+    weights halve the per-step weight traffic (tools/exp_wq_hoist.py, v5e:
+    scan inline 93.67 vs pre-quantized 92.09 ms).
     """
     xf = x.astype(jnp.float32)
     sx = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
     xq = jnp.clip(jnp.round(xf / sx), -127.0, 127.0).astype(jnp.int8)
 
-    kf = kernel.astype(jnp.float32)
-    sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0, 1e-12)
-    kq = jnp.clip(jnp.round(kf / sw[None, None, None, :]),
-                  -127.0, 127.0).astype(jnp.int8)
+    kq, sw = prequant if prequant is not None else quantize_conv_kernel(kernel)
 
     y = jax.lax.conv_general_dilated(
         xq, kq, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
     return (y.astype(jnp.float32) * (sx * sw)
             + bias.astype(jnp.float32)).astype(out_dtype)
+
+
+def wq_hoist_wanted() -> bool:
+    """Build-time gate for the load-time weight-quantization overlay
+    (``SD_TPU_WQ_HOIST``, default on): only meaningful when an int8 WEIGHT
+    bucket would actually dispatch (same predicate as the ops — the ADVICE
+    r4 #3 lesson: an env parse alone can claim int8 on CPU/fp32 runs where
+    the gate keeps it off, and the overlay would be dead device memory)."""
+    if os.environ.get("SD_TPU_WQ_HOIST", "1").lower() in ("0", "off", "false"):
+        return False
+    return (int8_bucket_enabled("conv", jnp.bfloat16)
+            or int8_bucket_enabled("ff", jnp.bfloat16))
+
+
+def _is_conv3x3_kernel(leaf) -> bool:
+    return (hasattr(leaf, "ndim") and leaf.ndim == 4
+            and tuple(leaf.shape[:2]) == (3, 3))
+
+
+def _geglu_ff_pair(node):
+    """``(w1, w2)`` when ``node`` is a GEGLU FeedForward param subtree
+    (children ``proj_in/proj/kernel`` [C, 2*inner] + ``proj_out/kernel``
+    [inner, C_out] — sd_tpu/ops/attention.py::FeedForward fused path)."""
+    try:
+        w1 = node["proj_in"]["proj"]["kernel"]
+        w2 = node["proj_out"]["kernel"]
+    except (KeyError, TypeError, IndexError):
+        return None
+    if (getattr(w1, "ndim", 0) == 2 and getattr(w2, "ndim", 0) == 2
+            and w1.shape[1] == 2 * w2.shape[0]):
+        return w1, w2
+    return None
+
+
+def prequantize_weights(params, compute_dtype=jnp.bfloat16):
+    """Walk a param pytree and build the ``qw`` weight-quantization overlay.
+
+    Returns a nested dict mirroring ``params``'s module paths with int8
+    copies of every weight the int8 serving mode re-quantizes per step:
+
+    - at each ``Conv3x3`` path (a ``kernel`` [3,3,Cin,Cout]):
+      ``{"kq": int8, "sw": fp32[Cout]}`` — consumed by
+      ``sd_tpu/ops/conv.py::Conv3x3``;
+    - at each GEGLU FeedForward path: ``{"w1a_q","w1a_s","w1g_q","w1g_s",
+      "w2_q","w2_s"}`` quantized exactly as
+      ``geglu_ff._quantize_cols`` does inline (value half first, gate
+      second; weights cast to ``compute_dtype`` first, matching the
+      kernel's ``w.astype(x.dtype)``) — consumed by
+      ``sd_tpu/ops/attention.py::FeedForward``.
+
+    The overlay rides flax's variable system: pass
+    ``{"params": params, "qw": prequantize_weights(params)}`` to ``apply``;
+    modules fall back to inline per-step quantization when their entry is
+    absent. Entries at paths whose site doesn't dispatch int8 (e.g. plain
+    ``nn.Conv`` 3x3s, CPU runs) are simply never read and get pruned at
+    compile. Quantization math is bitwise identical to the inline path
+    (tests/test_wq_hoist.py), so tools/int8_quality.py's gate covers both.
+
+    Returns None when the walk finds nothing (e.g. a params tree with no
+    conv/FF sites).
+    """
+
+    from collections.abc import Mapping
+
+    def walk(node):
+        if not isinstance(node, Mapping):
+            return None
+        out = {}
+        pair = _geglu_ff_pair(node)
+        if pair is not None:
+            w1, w2 = pair
+            inner = w2.shape[0]
+            w1c = w1.astype(compute_dtype)
+            w1a_q, w1a_s = quantize_rows(w1c[:, :inner], axis=0)
+            w1g_q, w1g_s = quantize_rows(w1c[:, inner:], axis=0)
+            w2_q, w2_s = quantize_rows(w2.astype(compute_dtype), axis=0)
+            out.update(w1a_q=w1a_q, w1a_s=w1a_s, w1g_q=w1g_q, w1g_s=w1g_s,
+                       w2_q=w2_q, w2_s=w2_s)
+        kernel = node.get("kernel")
+        if kernel is not None and _is_conv3x3_kernel(kernel):
+            kq, sw = quantize_conv_kernel(kernel)
+            out.update(kq=kq, sw=sw)
+        for name, child in node.items():
+            if name == "kernel":
+                continue
+            sub = walk(child)
+            if sub:
+                out[name] = sub
+        return out or None
+
+    return walk(params)
