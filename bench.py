@@ -42,6 +42,14 @@ ITERS = int(os.environ.get("BENCH_ITERS", "2"))
 # "plms" (the 50-step headline) or "dpm" = DPM-Solver++ 2M, the reference's
 # fast-path sampler (dpm_solver/sampler.py; quality-equivalent at ~20 steps)
 SAMPLER = os.environ.get("BENCH_SAMPLER", "plms").lower()
+# "loop" (default): python loop of one jitted step — compile-cheap through
+# the remote-compile tunnel, the driver-facing mode. "scan": the PRODUCTION
+# sampler program (sd_tpu/samplers one-lax.scan + the int8 qw weight
+# overlay when active) — measured 1.5-3 ms/CFG-step faster than the loop
+# (tools/exp_wq_hoist.py: LICM/weight-traffic effects only exist inside the
+# scan; per-call dispatch overhead only exists outside it), at the cost of
+# a many-minute scan compile through this environment's tunnel.
+MODE = os.environ.get("BENCH_MODE", "loop").lower()
 
 
 def dpm2m_plan(schedule, steps):
@@ -204,6 +212,37 @@ def main():
 
     run = run_dpm if SAMPLER == "dpm" else run_plms
 
+    if MODE == "scan":
+        from sd_tpu.ops.quant import prequantize_weights, wq_hoist_wanted
+        from sd_tpu.samplers.dpm_solver import dpm_solver_sample
+        from sd_tpu.samplers.plms import plms_sample
+
+        qw = prequantize_weights(unet_params) if wq_hoist_wanted() else None
+        cond1 = jnp.zeros((b, 77, 768), jnp.bfloat16)
+        sampler_fn = dpm_solver_sample if SAMPLER == "dpm" else plms_sample
+
+        def sample(up, qw_, cond, uncond, rng):
+            variables = {"params": up}
+            if qw_ is not None:
+                variables["qw"] = qw_
+
+            def model_fn(x, t, c):
+                return unet.apply(variables, x.astype(jnp.bfloat16), t,
+                                  c.astype(jnp.bfloat16)).astype(jnp.float32)
+
+            out = sampler_fn(model_fn, schedule, (b, 64, 64, 4), cond, rng,
+                             num_steps=STEPS, uncond=uncond,
+                             guidance_scale=7.5)
+            return out[0] if isinstance(out, tuple) else out
+
+        jsample = jax.jit(sample)
+
+        def run_scan(rng, _ctx2):
+            return decode(dec_params, jsample(unet_params, qw, cond1, cond1,
+                                              rng))
+
+        run = run_scan
+
     ctx2 = jnp.zeros((2 * b, 77, 768), jnp.bfloat16)  # CLIP output shape
 
     # warmup / compile
@@ -220,6 +259,8 @@ def main():
     from sd_tpu.ops.quant import int8_mode_label
 
     samp = "DPM-Solver++2M" if SAMPLER == "dpm" else "PLMS"
+    if MODE == "scan":
+        samp += " scan-program"
     # The 0.45 A100 figure is for 50 steps; per-step cost is one CFG-doubled
     # UNet eval in BOTH samplers, so at other step counts compare against the
     # step-scaled baseline (decode amortization ~3% favors the baseline).
@@ -241,13 +282,20 @@ def main():
                                   if STEPS != 50 else "0.45 img/s @50 steps",
             "methodology": (
                 f"timed: noise -> {STEPS} CFG-doubled UNet steps ({samp}) "
-                "-> kl-f8 decode; excludes CLIP encode (<1% amortized) and "
-                "(PLMS only) the bootstrap's extra UNet call (~2%); DPM "
-                "path runs exactly STEPS model evals — python loop of one "
-                "jitted step with async dispatch + one terminal sync "
-                "(identical math/steady-state to the production lax.scan; "
-                "see module docstring for this environment's compile/RPC "
-                "constraints)"
+                "-> kl-f8 decode; excludes CLIP encode (<1% amortized); "
+                + ("the PRODUCTION one-lax.scan sampler program "
+                   "(sd_tpu/samplers)"
+                   + (" incl. its PLMS bootstrap eval" if SAMPLER != "dpm"
+                      else "")
+                   + ", with the int8 qw weight overlay when active"
+                   if MODE == "scan" else
+                   "excludes (PLMS only) the bootstrap's extra UNet call "
+                   "(~2%); DPM path runs exactly STEPS model evals — "
+                   "python loop of one jitted step with async dispatch + "
+                   "one terminal sync (within 1.5-3 ms/step of the "
+                   "production lax.scan, which BENCH_MODE=scan measures; "
+                   "see module docstring for this environment's "
+                   "compile/RPC constraints)")
             ),
         },
     }
