@@ -129,25 +129,10 @@ def build_txt2img_pipeline(
                                latent_channels=latent_channels,
                                downsample=downsample)
 
-    # int8 serving mode: quantize the conv/FF weights ONCE at load time (the
-    # "qw" overlay) instead of per step inside the sampler scan — bitwise
-    # the same math, a measured 1.6 ms/CFG-step cheaper in scan programs
-    # (tools/exp_wq_hoist.py; SD_TPU_WQ_HOIST=0 opts out)
-    from sd_tpu.ops.quant import prequantize_weights, wq_hoist_wanted
-
-    if wq_hoist_wanted():
-        import dataclasses
-        import jax.numpy as jnp
-
-        cdt = inference_compute_dtype() or jnp.float32
-        ldm = pipe.ldm
-        pipe.ldm = dataclasses.replace(
-            ldm,
-            unet_qw=prequantize_weights(ldm.unet_params, cdt),
-            first_stage_qw=(
-                prequantize_weights(ldm.first_stage_params, cdt)
-                if ldm.first_stage_params is not None else None),
-        )
+    # NOTE: the int8 load-time weight overlay ("qw") is attached inside
+    # build_latent_diffusion / build_latent_diffusion_from_run
+    # (utils/config.py::maybe_weight_quant_overlay) so EVERY entry point —
+    # these pipelines, img2img, sample_diffusion, serve, tools — gets it.
 
     if safety:
         from sd_tpu.pipelines.safety import SafetyChecker, port_safety_checker

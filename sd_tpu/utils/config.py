@@ -325,6 +325,7 @@ def build_latent_diffusion(
     init_params: bool = True,
     state_dict: Optional[Dict[str, np.ndarray]] = None,
     compute_dtype: Optional[jnp.dtype] = None,
+    weight_quant_overlay: bool = True,
 ):
     """Build a :class:`sd_tpu.models.ldm.LatentDiffusion` from a reference-style
     model config node (the ``model:`` section of the shipped YAMLs).
@@ -456,7 +457,7 @@ def build_latent_diffusion(
         cond_params = (first_params if cond_is_first_stage
                        else _cast(cond_params))
 
-    return LatentDiffusion(
+    ldm = LatentDiffusion(
         unet=unet,
         unet_params=unet_params,
         schedule=schedule,
@@ -468,6 +469,31 @@ def build_latent_diffusion(
         scale_factor=p.get("scale_factor", 1.0),
         parameterization=p.get("parameterization", "eps"),
         cond_stage_key=p.get("cond_stage_key", "caption"),
+    )
+    if weight_quant_overlay:
+        ldm = maybe_weight_quant_overlay(ldm, compute_dtype)
+    return ldm
+
+
+def maybe_weight_quant_overlay(ldm, compute_dtype=None):
+    """Attach the load-time int8 weight overlay when the int8 serving mode
+    is active (ops/quant.py::prequantize_weights — bitwise the inline math,
+    hoisted out of sampler scan programs; tools/exp_wq_hoist.py). No-op
+    unless an int8 weight bucket would dispatch (SD_TPU_INT8 + TPU + bf16;
+    SD_TPU_WQ_HOIST=0 opts out)."""
+    import dataclasses
+
+    from sd_tpu.ops.quant import prequantize_weights, wq_hoist_wanted
+
+    if not wq_hoist_wanted():
+        return ldm
+    cdt = compute_dtype if compute_dtype is not None else jnp.float32
+    return dataclasses.replace(
+        ldm,
+        unet_qw=prequantize_weights(ldm.unet_params, cdt),
+        first_stage_qw=(
+            prequantize_weights(ldm.first_stage_params, cdt)
+            if ldm.first_stage_params is not None else None),
     )
 
 
@@ -512,8 +538,11 @@ def build_latent_diffusion_from_run(
             seed = 23
         rng = jax.random.PRNGKey(int(seed))
 
+    # overlay deferred: the restored params replace the random init below,
+    # and a stale overlay would silently serve the wrong int8 weights
     ldm = build_latent_diffusion(model_cfg, rng=rng, init_params=True,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype,
+                                 weight_quant_overlay=False)
 
     def _cast(tree):
         return jax.tree.map(
@@ -529,7 +558,8 @@ def build_latent_diffusion_from_run(
         rebind["scale_factor"] = float(meta["scale_factor"])
     import dataclasses
 
-    ldm = dataclasses.replace(ldm, **rebind)
+    ldm = maybe_weight_quant_overlay(dataclasses.replace(ldm, **rebind),
+                                     compute_dtype)
     src = meta.get("params_source", "current")
     print(f"Restored {src} params from run {run_path} "
           f"(step {meta.get('step')}, scale_factor={ldm.scale_factor})",

@@ -234,3 +234,23 @@ def test_serve_multi_bucket(tmp_path):
     assert lines[1]["ok"] and lines[1]["bucket"]["steps"] == 3
     assert not lines[2]["ok"] and "no warm bucket" in lines[2]["error"]
     assert "64x64@3" in lines[2]["config"]["buckets"][1]
+
+
+def test_bench_serve_latency_tool(tmp_path):
+    """tools/bench_serve_latency.py drives the real serve.py stdio daemon
+    and emits one JSON line with warm min/median latency (the flagship
+    serving-latency methodology, smoke-tested on the tiny CPU path)."""
+    import json
+
+    env = dict(ENV, SERVE_TINY="1", SERVE_HW="64", SERVE_STEPS="2",
+               SERVE_SAMPLER="plms", SERVE_OUTDIR=str(tmp_path / "serve"))
+    proc = subprocess.run(
+        [sys.executable, "tools/bench_serve_latency.py", "2"],
+        capture_output=True, text=True, timeout=540, cwd=REPO, env=env,
+    )
+    assert proc.returncode == 0, (proc.stdout[-1500:], proc.stderr[-1500:])
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["unit"] == "s/image"
+    assert result["value"] > 0
+    assert len(result["detail"]["all_s"]) == 2
+    assert (tmp_path / "serve").exists()
